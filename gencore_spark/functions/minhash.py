@@ -1,0 +1,102 @@
+"""MinHash signatures + LSH band splitting (pure numpy, no Spark).
+
+Reference analog: the coordinate cluster key ``(tid, left, right)``
+(``gencore.cpp:296-313``) — the fixed-width key that routes records into the
+hash-agg cluster index (``gencore.cpp:449-467``).  Ours routes documents via
+band hashes of a MinHash signature; see :class:`gencore_spark.config
+.DedupConfig` for the recall math that pins (num_perms, bands, rows).
+
+Permutation family: multiply-add over uint64 with wraparound modulus —
+``h_j(x) = a_j * x + b_j (mod 2**64)``, ``a_j`` odd.  Deterministic from
+``seed`` (numpy PCG64), so signatures are pinned bit-for-bit across runs and
+machines — the "identical shingle/signature config" pin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .shingle import shingle_hashes
+
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-gamma
+
+
+def perm_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multiply-add parameters, ``a`` forced odd; shape (num_perms,)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Signature (num_perms,) uint64 for one shingle set.
+
+    Empty shingle set → all-max signature (never collides with real docs).
+    """
+    if shingles.shape[0] == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (m, num_perms) outer multiply-add, min over shingle axis
+        h = shingles[:, None] * a[None, :] + b[None, :]
+    return h.min(axis=0)
+
+
+# Scratch-buffer row cap: bounds peak memory to _CHUNK_ROWS * num_perms * 8
+# bytes (64 MiB at 128 perms) regardless of document length.  Buffers are
+# allocated ONCE per batch and reused — fresh large allocations are the
+# dominant cost on memory-constrained hosts (first-touch page faults), so
+# the kernels below never allocate inside the per-doc loop.
+_CHUNK_ROWS = 65536
+
+
+def minhash_many(
+    texts: list[str], k: int, a: np.ndarray, b: np.ndarray, perm_chunk: int = 32
+) -> np.ndarray:
+    """Signatures for a batch of texts, shape (n_texts, num_perms) uint64.
+
+    Per-doc numpy inner loop with one reused scratch buffer; work per doc is
+    |shingles| * num_perms fused multiply-add-min passes.
+    """
+    del perm_chunk  # superseded by buffer reuse; kept for config compat
+    num_perms = a.shape[0]
+    sets = [shingle_hashes(t if t is not None else "", k) for t in texts]
+    n = len(sets)
+    out = np.full((n, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return out
+    max_m = min(max((s.shape[0] for s in sets), default=1), _CHUNK_ROWS)
+    buf = np.empty((max(max_m, 1), num_perms), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(sets):
+            m = s.shape[0]
+            if m == 0:
+                continue
+            for s0 in range(0, m, _CHUNK_ROWS):
+                chunk = s[s0 : s0 + _CHUNK_ROWS]
+                c = chunk.shape[0]
+                np.multiply(chunk[:, None], a[None, :], out=buf[:c])
+                buf[:c] += b[None, :]
+                np.minimum(out[i], buf[:c].min(axis=0), out=out[i])
+    return out
+
+
+def band_hashes(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Collapse signatures (n, num_perms) → band keys (n, bands) uint64.
+
+    Each band's ``rows_per_band`` signature slots are mixed with a
+    splitmix64-style combiner; the band index is mixed in so identical row
+    values in different bands never collide.
+    """
+    n = signatures.shape[0]
+    sig = signatures.reshape(n, bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), _BAND_MIX, dtype=np.uint64)
+        for r in range(rows_per_band):
+            h ^= sig[:, :, r]
+            h *= _BAND_MIX
+            h ^= h >> np.uint64(29)
+        h ^= np.arange(bands, dtype=np.uint64)[None, :] * _BAND_MIX
+    return h

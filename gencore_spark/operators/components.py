@@ -1,0 +1,90 @@
+"""Stage 5: connected components — alternating large-star / small-star.
+
+Reference analog: greedy transitive UMI grouping (``cluster.cpp:55-100``) —
+gencore absorbs every pair within hamming<=d of the current top UMI and
+repeats, which computes exactly the connected components of the
+hamming-ball graph.  Ours computes CC of the verified-pair graph with the
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — O(log n) rounds of pure DataFrame
+joins/aggregations, no driver-side graph state.
+
+Per-round ops (all equi-joins + groupBy — shuffle on node id):
+
+* large-star: for each node u, m = min(N(u) ∪ {u}); emit (v, m) for every
+  neighbor v > u.
+* small-star: orient edges (a > b); for each a, m = min(N(a) ∪ {a});
+  emit (v, m) for v in N(a) ∪ {a} \\ {m}.
+
+Convergence: the edge multiset fingerprint (count, xor-sum of pair hashes)
+is stable across a round.  ``localCheckpoint`` truncates lineage each round
+(the one place iterative lineage can blow up a long job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    nbrs = oriented.join(mins, "a")
+    to_min = nbrs.filter(F.col("b") != F.col("m")).select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    self_to_min = mins.select(F.col("a"), F.col("m").alias("b"))
+    return to_min.unionByName(self_to_min).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # mod a 1e9 prime before summing: ANSI-safe up to ~9e9 edges
+        F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1000000007))).alias("h"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def connected_components(
+    edges: DataFrame, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """edges (id_a, id_b) → assignment (rep_id, cluster_id).
+
+    ``cluster_id`` is the minimum node id of the component (deterministic,
+    resume-stable).  Every node appearing in ``edges`` gets a row; isolated
+    nodes are the caller's concern (they keep their own id).
+    """
+    cfg = cfg or DEFAULT_CONFIG
+    cur = edges.select(
+        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+
+    prev_fp = None
+    for _ in range(cfg.cc_max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # converged: edges form stars (node -> component min). Add the roots.
+    assign = cur.select(F.col("a").alias("rep_id"), F.col("b").alias("cluster_id"))
+    roots = cur.select(F.col("b").alias("rep_id"), F.col("b").alias("cluster_id"))
+    return assign.unionByName(roots).distinct()

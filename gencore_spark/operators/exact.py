@@ -1,0 +1,83 @@
+"""Stage 1-2: id assignment, routing, exact-dup prepass, signatures.
+
+Reference analogs:
+* unmapped passthrough (``gencore.cpp:255-266``) → short-text bypass routing;
+* secondary/supplementary filter (``gencore.cpp:269-271``) → null/empty drop;
+* singleton fast-path (``group.cpp:73-77``) → the exact-hash prepass: only
+  one representative per distinct text flows through the expensive
+  MinHash/LSH/verify path; identical-text rows rejoin at cluster fan-out.
+
+At 10^12-doc scale the exact prepass is the single biggest saver: the
+signature/LSH stages run on |distinct texts| rows, not |docs| rows, and the
+fan-out back is one hash join on ``text_hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DedupConfig
+from ..functions.udfs import minhash_udf, normalize_udf, simhash_udf
+
+
+def with_doc_ids(pages: DataFrame) -> DataFrame:
+    """Stable 64-bit doc id from the url.
+
+    xxhash64 collisions at 10^12 urls are ~1e4 expected (birthday bound);
+    the production upgrade is a 128-bit id (two longs from sha2) — the
+    pipeline only needs ids to be orderable + hashable, so the swap is
+    mechanical.  Sandbox scale (<=1e7) is collision-free w.h.p.
+    """
+    return pages.withColumn("doc_id", F.xxhash64("url"))
+
+
+def route(pages: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """(main, bypass): docs shorter than ``min_text_len`` bypass dedup
+    entirely (each is its own singleton cluster), mirroring the unmapped
+    passthrough.  Null/empty text is dropped (the F1 filter)."""
+    clean = pages.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    main = clean.filter(F.length("text") >= cfg.min_text_len)
+    bypass = clean.filter(F.length("text") < cfg.min_text_len)
+    return main, bypass
+
+
+def with_text_hash(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate key: hash of the RAW text bytes (byte-identical
+    semantics, not normalized) — two rows are exact dups iff text matches
+    byte for byte."""
+    return docs.withColumn("text_hash", F.xxhash64("text"))
+
+
+def distinct_text_reps(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One representative row per distinct text: (text_hash, rep_id,
+    norm_text, n_members).  rep_id = min doc_id in the exact group
+    (deterministic)."""
+    reps = (
+        docs.groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.first("text").alias("text"),  # identical within group by key def
+        )
+        .withColumn("norm_text", normalize_udf()(F.col("text")))
+    )
+    return reps
+
+
+def with_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Attach MinHash signature + SimHash fingerprint to each distinct text.
+
+    Column pruning matters here: callers must select only
+    (text_hash, rep_id, norm_text) into this stage — never html.
+
+    Explicit repartition: AQE coalesces the upstream groupBy output by BYTE
+    size, which under-parallelizes the Python/Arrow UDF work (CPU-bound, not
+    byte-bound).  Repartitioning to the cluster's core count is the
+    documented pattern for UDF-heavy stages.
+    """
+    parallelism = reps.sparkSession.sparkContext.defaultParallelism
+    return (
+        reps.repartition(parallelism)
+        .withColumn("minhash", minhash_udf(cfg)(F.col("norm_text")))
+        .withColumn("simhash", simhash_udf(cfg)(F.col("norm_text")))
+    )

@@ -1,0 +1,72 @@
+"""Per-stage counters + per-partition lineage metrics.
+
+Reference analog: the pre/post ``Stats`` objects (``stats.cpp:101-139``),
+the duplication histogram (``stats.cpp:123-133``) and the JSON report
+(``jsonreporter.cpp:11-42``).
+
+Counters are computed as one aggregation per stage DataFrame (triggered by
+the pipeline at checkpoint boundaries — no extra passes over data that is
+being materialized anyway) and per-partition row counts via
+``spark_partition_id()`` groupBy — the lineage trail the north_star asks for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def partition_lineage(df: DataFrame, max_partitions: int = 512) -> list[dict]:
+    """[{partition, rows}] — row distribution across partitions (skew lens)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("partition")
+        .limit(max_partitions)
+        .collect()
+    )
+    return [{"partition": r["partition"], "rows": r["rows"]} for r in rows]
+
+
+def cluster_size_histogram(canonical: DataFrame, cap: int = 100) -> list[dict]:
+    """Duplication histogram, capped like the reference (``stats.h:15``)."""
+    rows = (
+        canonical.select(F.least(F.col("fr"), F.lit(cap)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("clusters"))
+        .orderBy("size")
+        .collect()
+    )
+    return [{"size": r["size"], "clusters": r["clusters"]} for r in rows]
+
+
+class RunReport:
+    """Accumulates stage metrics; writes one REPORT.json per run."""
+
+    def __init__(self) -> None:
+        self.stages: dict[str, dict[str, Any]] = {}
+        self._t0 = time.time()
+
+    def stage(self, name: str, **counters: Any) -> None:
+        entry = self.stages.setdefault(name, {})
+        entry.update(counters)
+        entry["t_elapsed_sec"] = round(time.time() - self._t0, 3)
+
+    def summary(self, **extra: Any) -> dict[str, Any]:
+        out: dict[str, Any] = {
+            "stages": self.stages,
+            "wall_sec": round(time.time() - self._t0, 3),
+        }
+        out.update(extra)
+        return out
+
+    def write(self, path: str, **extra: Any) -> dict[str, Any]:
+        out = self.summary(**extra)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2, default=str)
+        return out
