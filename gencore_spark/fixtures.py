@@ -148,8 +148,9 @@ def _doc_text(idx: int, spec: CorpusSpec, vocab: np.ndarray) -> str:
     w = words.copy()
     sub_p = float(mrng.uniform(0.01, 0.05))
     mask = mrng.random(len(w)) < sub_p
-    if mask.any():
-        w[mask] = vocab[mrng.integers(0, len(vocab), size=int(mask.sum()))]
+    if not mask.any():
+        mask[int(mrng.integers(0, len(w)))] = True  # near-dups never identical
+    w[mask] = vocab[mrng.integers(0, len(vocab), size=int(mask.sum()))]
     style = int(mrng.integers(0, 3))
     if style == 1:  # suffix truncation <= 15%
         keep = max(8, int(len(w) * float(mrng.uniform(0.85, 0.98))))

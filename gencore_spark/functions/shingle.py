@@ -28,9 +28,10 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     if n < k:
-        h = _OFFSET
-        for v in b:
-            h = h * _BASE + np.uint64(v)
+        with np.errstate(over="ignore"):
+            h = _OFFSET
+            for v in b:
+                h = h * _BASE + np.uint64(v)
         return np.array([h], dtype=np.uint64)
     m = n - k + 1
     h = np.full(m, _OFFSET, dtype=np.uint64)

@@ -1,0 +1,165 @@
+"""End-to-end pipeline tests: recall gate, invariants, resume, vote."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gencore_spark import DedupPipeline, dedup_pages
+from gencore_spark.config import DedupConfig
+from gencore_spark.fixtures import PAGES_COLUMNS, pages_with_truth
+from gencore_spark.functions.udfs import extract_text_udf
+from gencore_spark.operators.consensus import consensus_vote
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    full, spec = pages_with_truth(spark, N_DOCS)
+    full = full.cache()
+    full.count()
+    workdir = str(tmp_path_factory.mktemp("pipe"))
+    pipe = DedupPipeline(spark, workdir)
+    canonical = pipe.run(full.select(*PAGES_COLUMNS)).cache()
+    return full, canonical, workdir, pipe
+
+
+def _assignment(spark, workdir):
+    docs = spark.read.parquet(f"{workdir}/s1_docs").select("url", "doc_id", "text_hash")
+    reps = spark.read.parquet(f"{workdir}/s2_reps").select("text_hash", "rep_id")
+    cc = spark.read.parquet(f"{workdir}/s4_cc")
+    return (
+        docs.join(reps, "text_hash", "left")
+        .join(cc, "rep_id", "left")
+        .select("url", F.coalesce("cluster_id", "rep_id", "doc_id").alias("out_cluster"))
+    )
+
+
+def test_recall_gate(spark, run):
+    """Dup-pair recall >= 0.99 (BASELINE.json) over planted truth pairs."""
+    full, _, workdir, _ = run
+    j = full.select("url", "true_cluster_id").join(_assignment(spark, workdir), "url")
+    p = lambda c: F.sum(F.expr(f"{c}*({c}-1)/2"))
+    rec = (
+        j.groupBy("true_cluster_id", "out_cluster").count().agg(p("count")).collect()[0][0]
+    )
+    tot = j.groupBy("true_cluster_id").count().agg(p("count")).collect()[0][0]
+    assert rec / tot >= 0.99
+
+
+def test_no_cluster_mixing(spark, run):
+    """No output cluster merges docs from different true clusters
+    (precision side: planted clusters are mutually dissimilar)."""
+    full, _, workdir, _ = run
+    j = full.select("url", "true_cluster_id").join(_assignment(spark, workdir), "url")
+    mixed = (
+        j.groupBy("true_cluster_id", "out_cluster")
+        .count()
+        .groupBy("out_cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert mixed == 0
+
+
+def test_mass_conservation(run):
+    full, canonical, _, _ = run
+    n_in = full.count()
+    agg = canonical.agg(F.sum("fr").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert agg["s"] == n_in  # every input doc supports exactly one canonical
+    assert agg["n"] < n_in  # something was deduplicated
+
+
+def test_exact_groups_collapse(run):
+    full, canonical, _, _ = run
+    # every exact group of size g must appear as one canonical with fr>=g
+    ex = full.filter(F.col("dup_kind") == "exact")
+    sizes = ex.groupBy("true_cluster_id").count()
+    urls = ex.select("url")
+    surviving = canonical.join(urls, "url", "left_semi").count()
+    n_groups = sizes.count()
+    assert surviving <= n_groups  # at most one canonical per exact group
+
+
+def test_byte_identical_extraction(spark, run):
+    """input_hint invariant: extract_text(html) == text, byte for byte."""
+    full, _, _, _ = run
+    bad = full.withColumn("ext", extract_text_udf()(F.col("html"))).filter(
+        F.col("ext") != F.col("text")
+    )
+    assert bad.count() == 0
+
+
+def test_resume_skips_all_stages(spark, run):
+    full, canonical, workdir, _ = run
+    pipe2 = DedupPipeline(spark, workdir)
+    out2 = pipe2.run(full.select(*PAGES_COLUMNS))
+    assert all(
+        st.get("resumed") for name, st in pipe2.report.stages.items()
+        if name.startswith("s")
+        and "resumed" in st
+    )
+    assert out2.count() == canonical.count()
+
+
+def test_report_written(run):
+    import json, os
+
+    _, _, workdir, pipe = run
+    # the on-disk report reflects the most recent run on this workdir
+    rep = json.load(open(os.path.join(workdir, "REPORT.json")))
+    s = rep["stages"]["summary"]
+    assert s["docs_in"] == N_DOCS
+    assert 0 < s["dup_rate"] < 1
+    assert rep["stages"]["lineage"]["cluster_size_histogram"]
+    # the original (non-resumed) run observed the skew block being capped
+    assert pipe.report.stages["s3_buckets"]["n_capped_buckets"] >= 1
+
+
+def test_mirror_rr_counted(run):
+    _, canonical, _, _ = run
+    assert canonical.filter(F.col("rr") > 0).count() > 0
+
+
+def test_bypass_short_docs(spark, tmp_path):
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows = [
+        ("https://a/1", None, None, "tiny", "en"),
+        ("https://a/2", None, None, "tiny", "en"),
+        ("https://a/3", None, None, None, "en"),
+        ("https://a/4", None, None,
+         "a normal length document body here with plenty of words", "en"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = dedup_pages(spark, df, str(tmp_path / "w"))
+    # two "tiny" docs bypass (below min_text_len): NOT merged despite equality;
+    # null-text row dropped; normal doc kept
+    assert out.count() == 3
+    assert out.filter(F.col("fr") > 1).count() == 0
+
+
+def test_consensus_tiebreak_documented(spark):
+    """votes desc → shorter text → url asc → warc_ts asc."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        # cluster 1: text X has 2 votes, text Y has 1 → X wins; among X rows
+        # url asc picks a/1
+        Row(doc_id=1, url="https://a/2", warc_ts=ts, text="xxxx", lang="en",
+            text_hash=100, cluster_id=1),
+        Row(doc_id=2, url="https://a/1", warc_ts=ts, text="xxxx", lang="en",
+            text_hash=100, cluster_id=1),
+        Row(doc_id=3, url="https://a/0", warc_ts=ts, text="yyyyyy", lang="en",
+            text_hash=200, cluster_id=1),
+        # cluster 2: tie on votes → shorter text wins
+        Row(doc_id=4, url="https://b/1", warc_ts=ts, text="long-text-variant",
+            lang="en", text_hash=300, cluster_id=2),
+        Row(doc_id=5, url="https://b/2", warc_ts=ts, text="short", lang="en",
+            text_hash=400, cluster_id=2),
+    ]
+    out = consensus_vote(spark.createDataFrame(rows), DedupConfig()).collect()
+    by_cluster = {r["cluster_id"]: r for r in out}
+    assert by_cluster[1]["url"] == "https://a/1"
+    assert by_cluster[1]["fr"] == 3 and by_cluster[1]["n_variants"] == 2
+    assert by_cluster[2]["text"] == "short"
