@@ -1,38 +1,621 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dedup query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data extensions); each callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names/aliases; floats rounded identically on both sides).
+
+Dup-structure note: the driver's ``documents`` table has no duplicate rows,
+so dedup-shaped queries build a deterministic *variant union* in-query
+(every text duplicated once, every third text twice) — expressed identically
+in Spark and in the oracle SQL.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ full copy (+1e7 ids) ∪ every-3rd copy (+2e7 ids)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    c1 = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    c2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.unionByName(c1).unionByName(c2)
+
+
+_DUP_DOCS_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 20000000, text, lang, source, n_chars FROM documents
+    WHERE doc_id % 3 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clustering + canonical election on sf0.001.
 
+    Runs the full engine (MinHash/LSH/verify/CC) over the variant-union
+    documents table and elects one canonical doc per cluster with its
+    supporting count — the gencore group-then-vote shape end to end.
+    """
+    from gencore_spark.operators.dedup_variants import minhash_lsh_clusters
+
+    docs = _dup_docs(spark, "/root/testdata/sf0.001")
+    assign = minhash_lsh_clusters(docs)
+    members = docs.join(assign, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("fr", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "text", "lang", "source", "fr")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- dedup core (SURVEY §2 A1/A5/A7/A9, J1) ----
 
+    def exact_dedup_canonical(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import exact_dedup
+
+        return exact_dedup(_dup_docs(spark, sf_dir))
+
+    q["exact_dedup_canonical"] = exact_dedup_canonical
+
+    def dup_size_histogram(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import exact_dedup
+
+        return (
+            exact_dedup(_dup_docs(spark, sf_dir))
+            .groupBy(F.col("fr").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+        )
+
+    q["dup_size_histogram"] = dup_size_histogram
+
+    def cluster_size_gate(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import exact_dedup
+
+        return exact_dedup(_dup_docs(spark, sf_dir)).filter(F.col("fr") >= 3)
+
+    q["cluster_size_gate"] = cluster_size_gate
+
+    def candidate_pairs_exact(spark, sf_dir):
+        d = _dup_docs(spark, sf_dir)
+        a = d.select(F.xxhash64("text").alias("h"), F.col("doc_id").alias("id_a"))
+        b = d.select(F.xxhash64("text").alias("h"), F.col("doc_id").alias("id_b"))
+        return a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+    q["candidate_pairs_exact"] = candidate_pairs_exact
+
+    def dup_rate_metrics(spark, sf_dir):
+        d = _dup_docs(spark, sf_dir)
+        return d.agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.countDistinct("text").alias("distinct_texts"),
+            F.round(
+                1.0 - F.countDistinct("text") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+
+    q["dup_rate_metrics"] = dup_rate_metrics
+
+    # ---- election / window (SURVEY §2 A5/A6, W2) ----
+
+    def canonical_elect_per_lang(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        w = Window.partitionBy("lang").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("lang", "doc_id", "n_chars")
+        )
+
+    q["canonical_elect_per_lang"] = canonical_elect_per_lang
+
+    def top_event_per_user(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").asc()
+        )
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+
+    q["top_event_per_user"] = top_event_per_user
+
+    # ---- routing / filters (SURVEY §2 F1/F2/F6) ----
+
+    def length_route(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        route = (
+            F.when(F.col("n_chars") < 100, "bypass")
+            .when(F.col("n_chars") < 300, "short")
+            .otherwise("main")
+        )
+        return (
+            d.select(route.alias("route"))
+            .groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    q["length_route"] = length_route
+
+    def lang_filter_pruning(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.filter(F.col("lang") == "en")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    q["lang_filter_pruning"] = lang_filter_pruning
+
+    # ---- projections / scalar functions (SURVEY §2 F5, X5/X6) ----
+
+    def normalize_text_proj(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+                "norm_text"
+            ),
+        )
+
+    q["normalize_text_proj"] = normalize_text_proj
+
+    def mirror_key_fold(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        url = F.concat(
+            F.when(F.col("doc_id") % 2 == 0, "https://").otherwise("http://www."),
+            F.lit("site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org/p"),
+            (F.col("doc_id") % 400).cast("string"),
+        )
+        mk = F.regexp_replace(url, r"^https?://(www\.)?", "")
+        return (
+            d.select(mk.alias("mirror_key"))
+            .groupBy("mirror_key")
+            .agg(F.count(F.lit(1)).alias("n_variants"))
+        )
+
+    q["mirror_key_fold"] = mirror_key_fold
+
+    # ---- metrics aggregations (SURVEY §2 A8/A10/A11) ----
+
+    def stats_counters(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+
+    q["stats_counters"] = stats_counters
+
+    def range_bin_agg(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy(F.floor(F.col("value") / 10).alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            )
+        )
+
+    q["range_bin_agg"] = range_bin_agg
+
+    def revenue_by_priority(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(cents).alias("revenue_cents"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["revenue_by_priority"] = revenue_by_priority
+
+    # ---- text analysis (training-data extensions) ----
+
+    def token_counts(spark, sf_dir):
+        from gencore_spark.operators.textstats import bpe_ish_token_count, token_count
+
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+        )
+
+    q["token_counts"] = token_counts
+
+    def quality_features_q(spark, sf_dir):
+        from gencore_spark.operators.textstats import quality_features
+
+        return quality_features(_t(spark, sf_dir, "documents"))
+
+    q["quality_features"] = quality_features_q
+
+    def lang_id_counts(spark, sf_dir):
+        from gencore_spark.operators.textstats import lang_id
+
+        d = _t(spark, sf_dir, "documents")
+        return lang_id(d).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    q["lang_id_counts"] = lang_id_counts
+
+    # ---- connected components (SURVEY §2 A2) ----
+
+    def connected_components_q(spark, sf_dir):
+        from gencore_spark.operators.components import connected_components
+
+        li = _t(spark, sf_dir, "lineitem")
+        edges = (
+            li.filter(F.col("l_orderkey") % 100 == 0)
+            .select(
+                F.col("l_orderkey").alias("id_a"),
+                (F.col("l_partkey") + 1_000_000).alias("id_b"),
+            )
+            .distinct()
+        )
+        return connected_components(edges).select(
+            F.col("rep_id").alias("node"), "cluster_id"
+        )
+
+    q["connected_components"] = connected_components_q
+
+    # ---- ANN similarity search ----
+
+    def ann_cosine_topk(spark, sf_dir):
+        from gencore_spark.operators.ann import cosine_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return cosine_topk(
+            emb.filter(F.col("vec_id") >= 10),
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+        )
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    # ---- rows-only (non-SQL-expressible: signature/LSH/consensus kernels) ----
+
+    def minhash_signatures(spark, sf_dir):
+        from gencore_spark.config import DEFAULT_CONFIG
+        from gencore_spark.functions.udfs import minhash_udf, normalize_udf
+
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            minhash_udf(DEFAULT_CONFIG)(normalize_udf()(F.col("text"))).alias(
+                "minhash"
+            ),
+        )
+
+    q["minhash_signatures"] = minhash_signatures
+
+    def simhash_fingerprints(spark, sf_dir):
+        from gencore_spark.config import DEFAULT_CONFIG
+        from gencore_spark.functions.udfs import normalize_udf, simhash_udf
+
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            simhash_udf(DEFAULT_CONFIG)(normalize_udf()(F.col("text"))).alias(
+                "simhash"
+            ),
+        )
+
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def lsh_candidate_pairs(spark, sf_dir):
+        from gencore_spark.config import DEFAULT_CONFIG
+        from gencore_spark.functions.udfs import minhash_udf, normalize_udf
+        from gencore_spark.operators.lsh import candidate_pairs
+
+        d = _dup_docs(spark, sf_dir)
+        signed = d.select(
+            F.col("doc_id").alias("rep_id"),
+            minhash_udf(DEFAULT_CONFIG)(normalize_udf()(F.col("text"))).alias(
+                "minhash"
+            ),
+        )
+        edges, _ = candidate_pairs(signed, DEFAULT_CONFIG)
+        return edges
+
+    q["lsh_candidate_pairs"] = lsh_candidate_pairs
+
+    def near_dup_clusters(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import minhash_lsh_clusters
+
+        return minhash_lsh_clusters(_dup_docs(spark, sf_dir))
+
+    q["near_dup_clusters"] = near_dup_clusters
+
+    def simhash_dedup_clusters(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import simhash_clusters
+
+        return simhash_clusters(_dup_docs(spark, sf_dir))
+
+    q["simhash_dedup_clusters"] = simhash_dedup_clusters
+
+    def ngram_jaccard_clusters_q(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import ngram_jaccard_clusters
+
+        return ngram_jaccard_clusters(_dup_docs(spark, sf_dir))
+
+    q["ngram_jaccard_clusters"] = ngram_jaccard_clusters_q
+
+    def embedding_cosine_clusters_q(spark, sf_dir):
+        from gencore_spark.operators.dedup_variants import embedding_cosine_clusters
+
+        return embedding_cosine_clusters(_t(spark, sf_dir, "embeddings"), tau=0.9)
+
+    q["embedding_cosine_clusters"] = embedding_cosine_clusters_q
+
+    def ann_lsh_topk(spark, sf_dir):
+        from gencore_spark.operators.ann import lsh_cosine_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        # 8-bit codes + 4 probe flips: random 64-dim vectors are nearly
+        # orthogonal, so wider buckets are needed for a meaningful demo
+        return lsh_cosine_topk(
+            emb.filter(F.col("vec_id") >= 10),
+            emb.filter(F.col("vec_id") < 10),
+            dim=64,
+            k=5,
+            n_planes=8,
+            probe_bits=4,
+        )
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def doc_fingerprints(spark, sf_dir):
+        from gencore_spark.operators.textstats import fingerprint_udf
+
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fp"))
+
+    q["doc_fingerprints"] = doc_fingerprints
+
+    def multimodal_features(spark, sf_dir):
+        from gencore_spark.operators.multimodal import extract_features
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        return extract_features(d)
+
+    q["multimodal_features"] = multimodal_features
+
+    def pages_dedup_e2e(spark, sf_dir):
+        import tempfile
+
+        from gencore_spark import dedup_pages
+        from gencore_spark.fixtures import pages_df
+
+        workdir = tempfile.mkdtemp(prefix="gencore_e2e_")
+        return dedup_pages(spark, pages_df(spark, 1000), workdir)
+
+    q["pages_dedup_e2e"] = pages_dedup_e2e
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same aliases)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_canonical": f"""
+            SELECT min(doc_id) AS canonical_id, count(*) AS fr
+            FROM ({_DUP_DOCS_SQL}) d(doc_id, text, lang, source, n_chars)
+            GROUP BY text
+        """,
+        "dup_size_histogram": f"""
+            SELECT fr AS cluster_size, count(*) AS n_clusters
+            FROM (
+              SELECT count(*) AS fr
+              FROM ({_DUP_DOCS_SQL}) d(doc_id, text, lang, source, n_chars)
+              GROUP BY text
+            ) GROUP BY fr
+        """,
+        "cluster_size_gate": f"""
+            SELECT min(doc_id) AS canonical_id, count(*) AS fr
+            FROM ({_DUP_DOCS_SQL}) d(doc_id, text, lang, source, n_chars)
+            GROUP BY text HAVING count(*) >= 3
+        """,
+        "candidate_pairs_exact": f"""
+            WITH d AS ({_DUP_DOCS_SQL})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "dup_rate_metrics": f"""
+            SELECT count(*) AS docs_in,
+                   count(DISTINCT text) AS distinct_texts,
+                   round(1.0 - count(DISTINCT text) / count(*), 6) AS dup_rate
+            FROM ({_DUP_DOCS_SQL}) d(doc_id, text, lang, source, n_chars)
+        """,
+        "canonical_elect_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "length_route": """
+            SELECT CASE WHEN n_chars < 100 THEN 'bypass'
+                        WHEN n_chars < 300 THEN 'short'
+                        ELSE 'main' END AS route,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "lang_filter_pruning": """
+            SELECT source, count(*) AS n_docs FROM documents
+            WHERE lang = 'en' GROUP BY source
+        """,
+        "normalize_text_proj": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "mirror_key_fold": r"""
+            SELECT regexp_replace(
+                     CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://www.' END
+                     || 'site' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.org/p' || CAST(doc_id % 400 AS VARCHAR),
+                     '^https?://(www\.)?', '') AS mirror_key,
+                   count(*) AS n_variants
+            FROM documents GROUP BY 1
+        """,
+        "stats_counters": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        "range_bin_agg": """
+            SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                     AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END
+                     AS n_tokens,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_pieces
+            FROM documents
+        """,
+        "quality_features": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_m,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END
+                        AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / greatest(length(text), 1.0), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1.0), 6) AS digit_ratio,
+                   round(length(regexp_extract_all(lower(text),
+                         '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE length(string_split_regex(trim(text), '\s+'))
+                                    END, 1.0), 6) AS stopword_ratio,
+                   round(length(text) / greatest(
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE length(string_split_regex(trim(text), '\s+')) END, 1.0),
+                         6) AS mean_token_len
+            FROM documents
+        """,
+        "lang_id_counts": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|is|that|with)\b')) AS h_en,
+                     length(regexp_extract_all(lower(text),
+                       '\b(der|die|das|und|ist|nicht|mit)\b')) AS h_de,
+                     length(regexp_extract_all(lower(text),
+                       '\b(le|la|les|et|est|que|pour)\b')) AS h_fr,
+                     length(regexp_extract_all(lower(text),
+                       '\b(el|la|los|y|es|que|para)\b')) AS h_es
+              FROM documents
+            )
+            SELECT CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM h GROUP BY 1
+        """,
+        "connected_components": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000 AS b
+              FROM lineitem WHERE l_orderkey % 100 = 0
+            ),
+            sym AS (SELECT a, b FROM edges
+                    UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            walk(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.a, w.label FROM sym s JOIN walk w ON s.b = w.node
+              WHERE w.label < s.a
+            )
+            SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings c, embeddings q
+              WHERE c.vec_id >= 10 AND q.vec_id < 10 AND c.vec_id != q.vec_id
+            ) WHERE rank <= 5
+        """,
+    }
