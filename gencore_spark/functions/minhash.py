@@ -44,12 +44,13 @@ def minhash_signature(
     return h.min(axis=0)
 
 
-# Scratch-buffer row cap: bounds peak memory to _CHUNK_ROWS * num_perms * 8
-# bytes (64 MiB at 128 perms) regardless of document length.  Buffers are
-# allocated ONCE per batch and reused — fresh large allocations are the
-# dominant cost on memory-constrained hosts (first-touch page faults), so
-# the kernels below never allocate inside the per-doc loop.
-_CHUNK_ROWS = 65536
+# Scratch-buffer row cap.  Small on purpose: (512, 128) uint64 = 512 KiB
+# keeps the multiply/add/min working set inside L2, so per-doc RAM traffic
+# is just the shingle array instead of 3 full-buffer sweeps — this host is
+# memory-bandwidth starved and the difference is ~10x.  Buffers are
+# allocated ONCE per batch and reused (fresh large allocations page-fault
+# at ~50 MB/s here).
+_CHUNK_ROWS = 512
 
 
 def minhash_many(
@@ -81,6 +82,49 @@ def minhash_many(
                 buf[:c] += b[None, :]
                 np.minimum(out[i], buf[:c].min(axis=0), out=out[i])
     return out
+
+
+def signatures_many(
+    texts: list[str], k: int, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """MinHash signatures AND SimHash fingerprints in one shingle pass.
+
+    Returns ``(sigs (n, num_perms) uint64, simhashes (n,) uint64)``.
+    Shingling is ~15% of signature cost; doing both hashes over one shingle
+    set also halves the text decode traffic — worth it on a
+    bandwidth-starved host.
+    """
+    num_perms = a.shape[0]
+    bits = np.arange(64, dtype=np.uint64)
+    sets = [shingle_hashes(t if t is not None else "", k) for t in texts]
+    n = len(sets)
+    sigs = np.full((n, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+    fps = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return sigs, fps
+    max_m = min(max((s.shape[0] for s in sets), default=1), _CHUNK_ROWS)
+    buf = np.empty((max(max_m, 1), num_perms), dtype=np.uint64)
+    bitbuf = np.empty((max(max_m, 1), 64), dtype=np.uint64)
+    votes = np.empty(64, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(sets):
+            m = s.shape[0]
+            if m == 0:
+                continue
+            votes[:] = 0
+            for s0 in range(0, m, _CHUNK_ROWS):
+                chunk = s[s0 : s0 + _CHUNK_ROWS]
+                c = chunk.shape[0]
+                np.multiply(chunk[:, None], a[None, :], out=buf[:c])
+                buf[:c] += b[None, :]
+                np.minimum(sigs[i], buf[:c].min(axis=0), out=sigs[i])
+                np.right_shift(chunk[:, None], bits[None, :], out=bitbuf[:c])
+                np.bitwise_and(bitbuf[:c], np.uint64(1), out=bitbuf[:c])
+                votes += bitbuf[:c].sum(axis=0, dtype=np.int64)
+            fps[i] = (((2 * votes) > m).astype(np.uint64) << bits).sum(
+                dtype=np.uint64
+            )
+    return sigs, fps
 
 
 def band_hashes(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:

@@ -28,7 +28,7 @@ def simhash(shingles: np.ndarray) -> int:
     return int(fp)
 
 
-_CHUNK_ROWS = 65536
+_CHUNK_ROWS = 512  # cache-blocked: (512, 64) uint64 = 256 KiB stays in L2
 
 
 def simhash_many(texts: list[str], k: int) -> np.ndarray:

@@ -56,6 +56,24 @@ def lcs_length(ta: str, tb: str) -> int:
     return lo
 
 
+def has_common_substring(ta: str, tb: str, min_len: int) -> bool:
+    """True iff a common substring of length >= ``min_len`` exists.
+
+    One rolling-hash pass at exactly ``min_len`` — the gate form of
+    :func:`lcs_length` (10x cheaper than the full binary search; the verify
+    stage only needs the threshold decision, not the exact length).
+    """
+    if min_len <= 0:
+        return True
+    a = np.frombuffer(ta.encode("utf-8"), dtype=np.uint8)
+    b = np.frombuffer(tb.encode("utf-8"), dtype=np.uint8)
+    if a.shape[0] < min_len or b.shape[0] < min_len:
+        return False
+    ha = gram_hashes(a, min_len)
+    hb = gram_hashes(b, min_len)
+    return np.intersect1d(ha, hb).shape[0] > 0
+
+
 def containment(part: np.ndarray, whole: np.ndarray) -> float:
     """|part ∩ whole| / |part| over deduplicated hash sets.
 

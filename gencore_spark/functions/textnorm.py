@@ -23,7 +23,10 @@ from __future__ import annotations
 import re
 
 _TAG_RE = re.compile(rb"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
+# pinned to Java's non-unicode \s — [ \t\n\x0B\f\r] — so this Python mirror
+# and the pipeline's JVM expression (operators.exact.normalize_expr) produce
+# byte-identical output
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def extract_text(html: bytes) -> str:
@@ -40,7 +43,12 @@ def extract_text(html: bytes) -> str:
 
 
 def normalize_for_shingling(text: str) -> str:
-    """Lowercase + collapse all whitespace runs to one space + strip."""
+    """Lowercase + collapse ASCII-whitespace runs to one space + trim spaces.
+
+    Exactly mirrors the pipeline's JVM expression
+    ``trim(regexp_replace(lower(text), '\\s+', ' '))`` — same operation
+    order, same (Java, non-unicode) whitespace class, space-only trim.
+    """
     if text is None:
         return ""
-    return _WS_RE.sub(" ", text).strip().lower()
+    return _WS_RE.sub(" ", text.lower()).strip(" ")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from .minhash import band_hashes, minhash_many, perm_params
+from .minhash import band_hashes, minhash_many, perm_params, signatures_many
 from .simhash import hamming64, simhash_many
 from .textnorm import extract_text, normalize_for_shingling
 
@@ -61,6 +61,29 @@ def simhash_udf(cfg: DedupConfig):
         return pd.Series(simhash_many(text.tolist(), cfg.shingle_k).view(np.int64))
 
     return _simhash
+
+
+def signatures_udf(cfg: DedupConfig):
+    """normalized text → struct(minhash array<long>, simhash long).
+
+    One shingle pass for both hashes — the pipeline's hot UDF.
+    """
+    a, b = perm_params(cfg.num_perms, cfg.seed)
+    schema = T.StructType(
+        [
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _sig(text: pd.Series) -> pd.DataFrame:
+        sigs, fps = signatures_many(text.tolist(), cfg.shingle_k, a, b)
+        return pd.DataFrame(
+            {"minhash": list(sigs.view(np.int64)), "simhash": fps.view(np.int64)}
+        )
+
+    return _sig
 
 
 def band_hash_udf(cfg: DedupConfig):

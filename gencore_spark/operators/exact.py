@@ -17,7 +17,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DedupConfig
-from ..functions.udfs import minhash_udf, normalize_udf, simhash_udf
+from ..functions.udfs import signatures_udf
+
+
+def normalize_expr(col):
+    """THE canonical shingling normalization, as a JVM expression:
+    ``trim(regexp_replace(lower(text), '\\s+', ' '))``.
+
+    JVM-side on purpose — a pandas-UDF normalization costs a full Arrow
+    round trip of the text column.  Java's non-unicode ``\\s`` is exactly
+    ``[ \\t\\n\\x0B\\f\\r]``; the Python mirror
+    (:func:`gencore_spark.functions.textnorm.normalize_for_shingling`)
+    is pinned to the same class so kernels and pipeline agree byte-for-byte.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def with_doc_ids(pages: DataFrame) -> DataFrame:
@@ -52,16 +65,15 @@ def distinct_text_reps(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """One representative row per distinct text: (text_hash, rep_id,
     norm_text, n_members).  rep_id = min doc_id in the exact group
     (deterministic)."""
-    reps = (
+    return (
         docs.groupBy("text_hash")
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.count(F.lit(1)).alias("n_members"),
             F.first("text").alias("text"),  # identical within group by key def
         )
-        .withColumn("norm_text", normalize_udf()(F.col("text")))
+        .withColumn("norm_text", normalize_expr(F.col("text")))
     )
-    return reps
 
 
 def with_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -78,6 +90,8 @@ def with_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     parallelism = reps.sparkSession.sparkContext.defaultParallelism
     return (
         reps.repartition(parallelism)
-        .withColumn("minhash", minhash_udf(cfg)(F.col("norm_text")))
-        .withColumn("simhash", simhash_udf(cfg)(F.col("norm_text")))
+        .withColumn("sig", signatures_udf(cfg)(F.col("norm_text")))
+        .withColumn("minhash", F.col("sig.minhash"))
+        .withColumn("simhash", F.col("sig.simhash"))
+        .drop("sig")
     )

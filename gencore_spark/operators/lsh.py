@@ -27,17 +27,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DedupConfig
-from ..functions.udfs import band_hash_udf
 
 
 def band_explode(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(rep_id, minhash) → one row per (rep_id, band_id, band_hash)."""
-    return signed.select(
-        "rep_id",
-        F.posexplode(band_hash_udf(cfg)(F.col("minhash"))).alias(
-            "band_id", "band_hash"
-        ),
+    """(rep_id, minhash) → one row per (rep_id, band_id, band_hash).
+
+    Pure JVM: band key = ``xxhash64(band_id, slice(minhash, band))`` —
+    whole-stage-codegen'd, no Arrow round trip of the signature arrays.
+    (The numpy ``band_hashes`` kernel remains as the tested reference
+    implementation of band mixing; the pipeline key only needs to be a
+    deterministic injective-ish mix, not that exact one.)
+    """
+    r = cfg.rows_per_band
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.xxhash64(F.lit(i), F.slice(F.col("minhash"), i * r + 1, r)).alias(
+                    "band_hash"
+                ),
+            )
+            for i in range(cfg.bands)
+        ]
     )
+    return signed.select(
+        "rep_id", F.explode(bands_expr).alias("b")
+    ).select("rep_id", "b.band_id", "b.band_hash")
 
 
 def candidate_pairs(

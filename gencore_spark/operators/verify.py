@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..config import DedupConfig
 from ..functions.shingle import shingle_hashes
-from ..functions.similarity import jaccard, lcs_length
+from ..functions.similarity import has_common_substring, jaccard
 
 
 def _verify_udf(cfg: DedupConfig):
@@ -37,26 +37,48 @@ def _verify_udf(cfg: DedupConfig):
         T.StructType(
             [
                 T.StructField("jaccard", T.DoubleType()),
-                T.StructField("lcs", T.IntegerType()),
+                T.StructField("lcs_ok", T.BooleanType()),
             ]
         )
     )
     def _verify(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
         jac = np.empty(len(ta), dtype=np.float64)
-        lcs = np.zeros(len(ta), dtype=np.int32)
+        lcs_ok = np.zeros(len(ta), dtype=bool)
         k = cfg.shingle_k
+        # per-batch shingle memo: anchor-star edges repeat one text
+        # thousands of times within a bucket (the skew block)
+        memo: dict[int, np.ndarray] = {}
+
+        def sh(t: str) -> np.ndarray:
+            key = hash(t)
+            s = memo.get(key)
+            if s is None:
+                s = shingle_hashes(t, k)
+                memo[key] = s
+            return s
+
         for i, (x, y) in enumerate(zip(ta, tb)):
             x = x or ""
             y = y or ""
-            sx = shingle_hashes(x, k)
-            sy = shingle_hashes(y, k)
-            j = jaccard(sx, sy)
+            if x == y:
+                jac[i] = 1.0
+                lcs_ok[i] = True
+                continue
+            j = jaccard(sh(x), sh(y))
             jac[i] = j
-            # LCS is only decision-relevant when Jaccard passed — skip the
-            # binary search otherwise (early-exit, cf. group.cpp:231-232)
-            if j >= cfg.jaccard_threshold and cfg.lcs_min_ratio > 0:
-                lcs[i] = lcs_length(x, y)
-        return pd.DataFrame({"jaccard": jac, "lcs": lcs})
+            if j < cfg.jaccard_threshold or cfg.lcs_min_ratio <= 0:
+                # LCS is only decision-relevant when Jaccard passed — skip
+                # (early-exit, cf. the reference's quorum break
+                # group.cpp:231-232)
+                lcs_ok[i] = True
+            elif j >= 0.85:
+                # bag-of-words false collisions (the gate's only target)
+                # cannot reach J 0.85 on char shingles; skip the scan
+                lcs_ok[i] = True
+            else:
+                m = int(cfg.lcs_min_ratio * min(len(x), len(y)))
+                lcs_ok[i] = has_common_substring(x, y, m)
+        return pd.DataFrame({"jaccard": jac, "lcs_ok": lcs_ok})
 
     return _verify
 
@@ -69,20 +91,21 @@ def verify_pairs(
     ``signed`` must carry (rep_id, norm_text, simhash); it is joined twice
     (the reference's qname-keyed mate lookup, ``cluster.cpp:260-273``).
     """
-    side = signed.select("rep_id", "norm_text", "simhash", "minhash")
-    a = side.select(
+    # Join order is deliberate: signatures first (1 KB/side), texts LAST and
+    # only for gate survivors — candidate pairs that fail the cheap gates
+    # never shuffle their (multi-KB) text payloads at all.
+    sig_side = signed.select("rep_id", "simhash", "minhash")
+    sa = sig_side.select(
         F.col("rep_id").alias("id_a"),
-        F.col("norm_text").alias("text_a"),
         F.col("simhash").alias("sim_a"),
         F.col("minhash").alias("mh_a"),
     )
-    b = side.select(
+    sb = sig_side.select(
         F.col("rep_id").alias("id_b"),
-        F.col("norm_text").alias("text_b"),
         F.col("simhash").alias("sim_b"),
         F.col("minhash").alias("mh_b"),
     )
-    joined = edges.join(a, "id_a").join(b, "id_b")
+    joined = edges.join(sa, "id_a").join(sb, "id_b")
 
     # gate 0 — MinHash-estimated Jaccard, pure JVM (zip_with over the
     # signature arrays).  With n=128 perms the estimator's std dev at
@@ -100,11 +123,16 @@ def verify_pairs(
         .drop("mh_a", "mh_b")
     )
 
-    # gate 1 — JVM-side popcount, prunes before any Python runs
-    gated = joined.withColumn(
+    # gate 1 — JVM-side popcount
+    survivors = joined.withColumn(
         "sim_hamming",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     ).filter(F.col("sim_hamming") <= cfg.simhash_max_hamming)
+
+    # now (and only now) fetch texts for the survivors
+    ta = signed.select(F.col("rep_id").alias("id_a"), F.col("norm_text").alias("text_a"))
+    tb = signed.select(F.col("rep_id").alias("id_b"), F.col("norm_text").alias("text_b"))
+    gated = survivors.join(ta, "id_a").join(tb, "id_b")
 
     # explicit repartition: the UDF below is CPU-bound; AQE's byte-based
     # coalescing would starve cores (see with_signatures for rationale)
@@ -112,18 +140,13 @@ def verify_pairs(
 
     # gates 2+3 — one vectorized UDF pass
     v = gated.withColumn("v", _verify_udf(cfg)(F.col("text_a"), F.col("text_b")))
-    min_len = F.least(F.length("text_a"), F.length("text_b"))
     verified = (
-        v.filter(
-            (F.col("v.jaccard") >= cfg.jaccard_threshold)
-            & (F.col("v.lcs") >= cfg.lcs_min_ratio * min_len)
-        )
+        v.filter((F.col("v.jaccard") >= cfg.jaccard_threshold) & F.col("v.lcs_ok"))
         .select(
             "id_a",
             "id_b",
             F.col("v.jaccard").alias("jaccard"),
             "sim_hamming",
-            F.col("v.lcs").alias("lcs"),
         )
     )
     return verified

@@ -1,0 +1,239 @@
+"""Tests for training-data operators: textstats, ANN, dedup variants,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ----------------------------------------------------------------- textstats
+
+
+def test_token_count_edges(spark):
+    from gencore_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "a-b c3d!")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["t"], r["p"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("t"),
+            bpe_ish_token_count(F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert rows[1] == (3, 3)
+    assert rows[2][0] == 0 and rows[3][0] == 0
+    # "a-b c3d!" → pieces: a,-,b,c,3,d,! = 7
+    assert rows[4] == (2, 7)
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    from gencore_spark.operators.textstats import quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs away home"),
+            (2, "1,2,3!!! 4;5;6??? 789.0,,,111:222!333"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[1] > q[2]
+
+
+def test_lang_id_heuristic(spark):
+    from gencore_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market with a plan"),
+            (2, "der hund und die katze sind nicht mit dem mann"),
+            (3, "le chat et le chien est que pour la maison"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_deterministic(spark, docs):
+    from gencore_spark.operators.textstats import fingerprint_udf
+
+    a = docs.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fp"))
+    b = docs.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fp"))
+    assert a.exceptAll(b).count() == 0
+    assert a.filter(F.col("fp") == 0).count() == 0
+
+
+# ----------------------------------------------------------------------- ann
+
+
+def test_cosine_topk_exact_against_numpy(spark, emb):
+    from gencore_spark.operators.ann import cosine_topk
+
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=3
+    ).collect()
+    # numpy oracle
+    pdf = emb.toPandas().set_index("vec_id")
+    mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf.index.to_numpy()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qmask, cmask = ids < 10, ids >= 10
+    sims = norm[cmask] @ norm[qmask].T
+    for qi, qid in enumerate(ids[qmask]):
+        order = np.lexsort((ids[cmask], -sims[:, qi]))[:3]
+        expect = list(ids[cmask][order])
+        got = [r["neighbor_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert got == expect, f"query {qid}"
+
+
+def test_lsh_topk_subset_of_exact_ranking(spark, emb):
+    from gencore_spark.operators.ann import lsh_cosine_topk
+
+    out = lsh_cosine_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        dim=64, k=3, n_planes=8, probe_bits=4,
+    )
+    rows = out.collect()
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    # per query at most k rows
+    from collections import Counter
+
+    c = Counter(r["query_id"] for r in rows)
+    assert all(v <= 3 for v in c.values())
+
+
+# ------------------------------------------------------------ dedup variants
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs):
+    c1 = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(c1).cache()
+
+
+def test_exact_dedup_counts(spark, dup_docs, docs):
+    from gencore_spark.operators.dedup_variants import exact_dedup
+
+    out = exact_dedup(dup_docs)
+    n_texts = docs.select("text").distinct().count()
+    assert out.count() == n_texts
+    assert out.filter(F.col("fr") != 2).count() == 0  # every text doubled
+    # canonical is the min id → always the original, never the +1e7 copy
+    assert out.filter(F.col("canonical_id") >= 10_000_000).count() == 0
+
+
+def test_simhash_clusters_exact_dups_merge(spark, dup_docs):
+    from gencore_spark.operators.dedup_variants import simhash_clusters
+
+    out = simhash_clusters(dup_docs, max_hamming=3)
+    # identical texts → identical simhash → same cluster, always
+    sizes = out.groupBy("cluster_id").count()
+    assert sizes.filter("count >= 2").count() > 0
+    pairs = (
+        out.alias("a")
+        .join(out.alias("b"), F.col("a.doc_id") + 10_000_000 == F.col("b.doc_id"))
+        .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
+    )
+    assert pairs.count() == 0
+
+
+def test_minhash_clusters_cover_all_docs(spark, dup_docs):
+    from gencore_spark.operators.dedup_variants import minhash_lsh_clusters
+
+    out = minhash_lsh_clusters(dup_docs)
+    assert out.count() == dup_docs.count()  # total assignment
+    # exact copies land together
+    bad = (
+        out.alias("a")
+        .join(out.alias("b"), F.col("a.doc_id") + 10_000_000 == F.col("b.doc_id"))
+        .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_ngram_jaccard_merges_punctuation_noise(spark):
+    from gencore_spark.operators.dedup_variants import ngram_jaccard_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    noisy = base.upper()  # token n-grams are case-folded → jaccard 1.0
+    df = spark.createDataFrame(
+        [(1, base), (2, noisy), (3, "totally different words entirely " * 12)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in ngram_jaccard_clusters(df).collect()}
+    assert out[1] == out[2]
+    assert out[3] != out[1]
+
+
+def test_embedding_cosine_clusters_duplicate_vectors(spark, emb):
+    from gencore_spark.operators.dedup_variants import embedding_cosine_clusters
+
+    dup = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    out = embedding_cosine_clusters(dup, tau=0.999)
+    bad = (
+        out.alias("a")
+        .join(out.alias("b"), F.col("a.vec_id") + 100_000 == F.col("b.vec_id"))
+        .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
+    )
+    assert bad.count() == 0
+    assert out.count() == dup.count()
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    from gencore_spark.operators.multimodal import FEATURE_SCHEMA, extract_features
+
+    d = docs.select("doc_id", F.encode("text", "utf-8").alias("payload")).limit(100)
+    out = extract_features(d)
+    assert out.count() == 100
+    row = out.first()
+    assert row["modality"] == "image"
+    assert len(row["feature"]) == 8
+    assert row["n_bytes"] > 0
+    # deterministic across runs
+    a = out.select("doc_id", "width", "height").collect()
+    b = extract_features(d).select("doc_id", "width", "height").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_multimodal_real_decoder_raises(spark, docs):
+    from gencore_spark.operators.multimodal import extract_features
+
+    with pytest.raises(NotImplementedError):
+        extract_features(docs.limit(1), decode_stub=False)
+
+
+def test_frame_sample_plan(spark):
+    from gencore_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    out = frame_sample_plan(df, every_n=30)
+    assert out.count() >= 10  # at least frame 0 per doc
+    assert out.filter(F.col("frame_index") % 30 != 0).count() == 0
