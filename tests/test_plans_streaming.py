@@ -1,0 +1,163 @@
+"""Plan-shape assertions (scale contract) + streaming front-end tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gencore_spark.config import DEFAULT_CONFIG
+from gencore_spark.plans import (
+    arrow_eval_count,
+    explain_str,
+    has_broadcast_join,
+    scan_read_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from gencore_spark.fixtures import pages_df
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages_df(spark, 500).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_html_pruned_from_signature_scan(spark, pages_parquet):
+    """s1 projects html OUT; the s2-equivalent scan must not read it."""
+    from gencore_spark.operators.exact import (
+        distinct_text_reps,
+        route,
+        with_doc_ids,
+        with_text_hash,
+    )
+
+    pages = spark.read.parquet(pages_parquet)
+    main, _ = route(with_doc_ids(pages), DEFAULT_CONFIG)
+    docs = with_text_hash(main).select("doc_id", "text", "text_hash")
+    reps = distinct_text_reps(docs, DEFAULT_CONFIG)
+    for cols in scan_read_columns(reps):
+        assert "html" not in cols, f"scan reads html: {cols}"
+
+
+def test_bucketing_stage_is_jvm_only(spark, pages_parquet):
+    """Candidate generation after signatures contains no Python nodes."""
+    from gencore_spark.operators.lsh import band_explode
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(128))), (2, list(range(128)))],
+        "rep_id long, minhash array<bigint>",
+    )
+    exploded = band_explode(sigs, DEFAULT_CONFIG)
+    assert arrow_eval_count(exploded) == 0
+    plan = explain_str(exploded)
+    assert "xxhash64" in plan
+
+
+def test_verify_gates_are_jvm_side(spark):
+    """est-Jaccard + hamming gates appear below the single verify UDF."""
+    from gencore_spark.operators.verify import verify_pairs
+
+    signed = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee", 7, list(range(128))),
+         (2, "aaaa bbbb cccc dddd eeff", 9, list(range(128)))],
+        "rep_id long, norm_text string, simhash long, minhash array<bigint>",
+    )
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = verify_pairs(edges, signed, DEFAULT_CONFIG)
+    # exactly one Python eval node (the jaccard/LCS UDF)
+    assert arrow_eval_count(out) == 1
+    assert "bit_count" in explain_str(out)
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    from gencore_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=3
+    )
+    assert has_broadcast_join(out)
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet).filter(F.col("lang") == "en").select("url")
+    plan = explain_str(pages)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_incremental_exact_dedup_stream(spark, tmp_path):
+    import datetime
+
+    from gencore_spark.streaming import incremental_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("https://a/1", ts, "same content here for the stream", "en"),
+        ("https://a/2", ts, "same content here for the stream", "en"),
+        ("https://a/3", ts, "different content in this row!!", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = incremental_exact_dedup(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # one of the two identical rows dropped
+    assert got.select("text").distinct().count() == 2
+
+
+def test_signature_stream_matches_batch(spark, tmp_path):
+    import datetime
+
+    from gencore_spark.streaming import signature_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("https://a/1", ts, "the quick brown fox jumps over the lazy dog", "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        signature_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).first()
+
+    # batch twin
+    from gencore_spark.functions.minhash import perm_params, signatures_many
+    from gencore_spark.functions.textnorm import normalize_for_shingling
+
+    a, b = perm_params(128, 42)
+    sigs, fps = signatures_many(
+        [normalize_for_shingling(df.first()["text"])], 5, a, b
+    )
+    import numpy as np
+
+    assert list(got["minhash"]) == list(sigs[0].view(np.int64))
+    assert got["simhash"] == int(fps[0].view(np.int64))

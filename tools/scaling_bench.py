@@ -7,11 +7,18 @@ SAME materialized input corpus:
 
     efficiency = (docs_per_sec@32 / docs_per_sec@8) / 4
 
-Each level runs in a fresh SparkSession (sequentially, never concurrently),
-reading a pre-materialized parquet corpus so generation cost is excluded.
+Methodology notes (both matter on this host):
+
+* every level runs in a FRESH subprocess (fresh JVM + fresh Python
+  workers) — long-lived local-mode JVMs degrade measurably, which would
+  contaminate whichever level runs second;
+* the corpus is pre-materialized parquet; generation is excluded.
+
 Results are appended to BENCH/BASELINE.md.
 
-Usage:  PYTHONPATH=/root/repo python tools/scaling_bench.py [n_pages]
+Usage:
+    PYTHONPATH=/root/repo python tools/scaling_bench.py [n_pages]
+    PYTHONPATH=/root/repo python tools/scaling_bench.py --level N pages work
 """
 
 from __future__ import annotations
@@ -19,17 +26,20 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 from datetime import datetime, timezone
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 LEVELS = [8, 32]
 
 
-def run_level(cores: int, pages_path: str, workdir: str) -> dict:
+def run_level(cores: int, pages_path: str, workdir: str) -> None:
+    """Child-process entry: one pipeline run at one parallelism level."""
     from gencore_spark import dedup_pages
     from gencore_spark.session import get_spark
 
@@ -37,57 +47,71 @@ def run_level(cores: int, pages_path: str, workdir: str) -> dict:
         app_name=f"scaling-{cores}", master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
-    try:
-        pages = spark.read.parquet(pages_path)
-        n = pages.count()
-        t0 = time.time()
-        out = dedup_pages(spark, pages, workdir)
-        n_out = out.count()
-        wall = time.time() - t0
-        return {
-            "cores": cores,
-            "n_pages": n,
-            "n_canonical": n_out,
-            "wall_sec": round(wall, 2),
-            "docs_per_sec": round(n / wall, 1),
-        }
-    finally:
-        spark.stop()
+    pages = spark.read.parquet(pages_path)
+    n = pages.count()
+    t0 = time.time()
+    out = dedup_pages(spark, pages, workdir)
+    n_out = out.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_pages": n,
+                "n_canonical": n_out,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n / wall, 1),
+            }
+        )
+    )
+    spark.stop()
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--level":
+        run_level(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        return
+
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
     tmp = tempfile.mkdtemp(prefix="gencore_scaling_")
     try:
-        from gencore_spark.fixtures import pages_df
-        from gencore_spark.session import get_spark
-
-        spark = get_spark(app_name="scaling-gen", master="local[32]")
         pages_path = os.path.join(tmp, "pages")
-        pages_df(spark, n_pages).write.mode("overwrite").parquet(pages_path)
-        spark.stop()
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from gencore_spark.fixtures import pages_df; "
+            "from gencore_spark.session import get_spark; "
+            "s = get_spark(app_name='scaling-gen', master='local[32]'); "
+            "pages_df(s, %d).write.mode('overwrite').parquet(%r); s.stop()"
+            % (REPO, n_pages, pages_path)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True,
+                       stderr=subprocess.DEVNULL)
 
         results = []
         for cores in LEVELS:
             workdir = os.path.join(tmp, f"work{cores}")
-            results.append(run_level(cores, pages_path, workdir))
-            print(json.dumps(results[-1]), flush=True)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--level",
+                 str(cores), pages_path, workdir],
+                check=True, capture_output=True, text=True,
+                env={**os.environ, "PYTHONPATH": REPO},
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results.append(json.loads(line))
+            print(line, flush=True)
 
         lo, hi = results[0], results[-1]
         ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
         eff = ratio / (LEVELS[-1] / LEVELS[0])
-        summary = {
-            "n_pages": n_pages,
-            "levels": results,
+        print(json.dumps({
+            "n_pages": n_pages, "levels": results,
             "speedup": round(ratio, 3),
-            "scaling_efficiency": round(eff, 3),
-            "target": 0.8,
-        }
-        print(json.dumps(summary))
+            "scaling_efficiency": round(eff, 3), "target": 0.8,
+        }))
 
-        os.makedirs("BENCH", exist_ok=True)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-        with open("BENCH/BASELINE.md", "a") as f:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
                 f"\n## Scaling run {stamp} — {n_pages} pages\n\n"
                 f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
