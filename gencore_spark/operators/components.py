@@ -76,8 +76,13 @@ def connected_components(
         F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
     ).filter(F.col("a") != F.col("b")).distinct()
 
+    # Two large+small rounds per checkpoint/fingerprint cycle: each driver
+    # round trip (materialize + collect) is pure fixed latency, and CC on
+    # near-dup graphs converges in a handful of rounds — halving the action
+    # count costs at most one redundant round after convergence.
     prev_fp = None
     for _ in range(cfg.cc_max_iterations):
+        cur = _small_star(_large_star(cur))
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:

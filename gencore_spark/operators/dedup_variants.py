@@ -26,7 +26,8 @@ from pyspark.sql import types as T
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..functions.shingle import shingle_hashes
 from ..functions.similarity import jaccard
-from ..functions.udfs import minhash_udf, normalize_udf, simhash_udf
+from ..functions.udfs import minhash_udf, signatures_udf
+from .exact import normalize_expr
 from .components import connected_components
 from .lsh import candidate_pairs
 from .verify import verify_pairs
@@ -53,10 +54,13 @@ def minhash_lsh_clusters(
     """(doc_id, cluster_id) near-dup assignment via the main engine."""
     reps = (
         docs.select(F.col("doc_id").alias("rep_id"), "text")
-        .withColumn("norm_text", normalize_udf()(F.col("text")))
-        .withColumn("minhash", minhash_udf(cfg)(F.col("norm_text")))
-        .withColumn("simhash", simhash_udf(cfg)(F.col("norm_text")))
-        .select("rep_id", "norm_text", "minhash", "simhash")
+        .withColumn("norm_text", normalize_expr(F.col("text")))
+        .withColumn("sig", signatures_udf(cfg)(F.col("norm_text")))
+        .select(
+            "rep_id", "norm_text",
+            F.col("sig.minhash").alias("minhash"),
+            F.col("sig.simhash").alias("simhash"),
+        )
     )
     edges, _ = candidate_pairs(reps.select("rep_id", "minhash"), cfg)
     verified = verify_pairs(edges, reps, cfg)
@@ -85,9 +89,8 @@ def simhash_clusters(
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
     sh = docs.select(
-        F.col("doc_id"),
-        simhash_udf(cfg)(normalize_udf()(F.col("text"))).alias("simhash"),
-    )
+        "doc_id", signatures_udf(cfg)(normalize_expr(F.col("text"))).alias("sig")
+    ).select("doc_id", F.col("sig.simhash").alias("simhash"))
     chunks = [
         F.struct(
             F.lit(i).alias("chunk_idx"),
@@ -173,7 +176,7 @@ def ngram_jaccard_clusters(
     """
     reps = (
         docs.select(F.col("doc_id").alias("rep_id"), "text")
-        .withColumn("norm_text", normalize_udf()(F.col("text")))
+        .withColumn("norm_text", normalize_expr(F.col("text")))
         .withColumn("minhash", minhash_udf(cfg)(F.col("norm_text")))
     )
     edges, _ = candidate_pairs(reps.select("rep_id", "minhash"), cfg)

@@ -97,10 +97,14 @@ class DedupPipeline:
         def build_edges() -> DataFrame:
             signed = reps.select("rep_id", "norm_text", "simhash", "minhash")
             edges, bucket_stats = candidate_pairs(signed, cfg)
-            capped = bucket_stats.filter(F.col("capped")).count()
-            biggest = bucket_stats.agg(F.max("bucket_size")).collect()[0][0]
+            row = bucket_stats.agg(
+                F.sum(F.col("capped").cast("int")).alias("capped"),
+                F.max("bucket_size").alias("biggest"),
+            ).collect()[0]
             self.report.stage(
-                "s3_buckets", n_capped_buckets=capped, max_bucket_size=biggest
+                "s3_buckets",
+                n_capped_buckets=int(row["capped"] or 0),
+                max_bucket_size=row["biggest"],
             )
             return verify_pairs(edges, signed, cfg)
 
@@ -140,14 +144,20 @@ class DedupPipeline:
 
     # -- reporting ----------------------------------------------------------
 
+    def _recorded_rows(self, name: str, df) -> int:
+        """Row count from the stage record when available (saves a job —
+        fixed per-run job latency is the scaling-efficiency tax)."""
+        rows = self.report.stages.get(name, {}).get("rows")
+        return rows if rows is not None else df.count()
+
     def _finalize(self, docs, reps, verified, canonical) -> None:
-        n_docs = docs.count()
-        n_out = canonical.count()
+        n_docs = self._recorded_rows("s1_docs", docs)
+        n_out = self._recorded_rows("s5_canonical", canonical)
         self.report.stage(
             "summary",
             docs_in=n_docs,
-            distinct_texts=reps.count(),
-            verified_edges=verified.count(),
+            distinct_texts=self._recorded_rows("s2_reps", reps),
+            verified_edges=self._recorded_rows("s3_edges", verified),
             docs_out=n_out,
             dup_rate=round(1.0 - n_out / max(n_docs, 1), 6),
         )

@@ -35,7 +35,12 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = [8, 32]
+# N and 4N parallelism levels.  Default 8→32; override with e.g.
+# SPARK_GRAFT_SCALING_LEVELS="2,8" — on a host whose noisy co-tenant makes
+# full-width runs bimodal, the 2→8 pair gives a cleaner scaling law.
+LEVELS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+]
 
 
 def run_level(cores: int, pages_path: str, workdir: str) -> None:
