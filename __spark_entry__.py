@@ -212,6 +212,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mirror_key_fold"] = mirror_key_fold
 
+    def mirror_pair_join(spark, sf_dir):
+        # the duplex-pairing self-join (J4): find https/http variant pairs
+        d = _t(spark, sf_dir, "documents")
+        https = d.select(
+            F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string")).alias("mk"),
+            F.col("doc_id").alias("id_https"),
+        ).filter(F.col("doc_id") % 2 == 0)
+        http = d.select(
+            F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string")).alias("mk"),
+            F.col("doc_id").alias("id_http"),
+        ).filter(F.col("doc_id") % 2 == 1)
+        return (
+            https.join(http, "mk")
+            .groupBy("mk")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+
+    q["mirror_pair_join"] = mirror_pair_join
+
+    def lang_allowlist_join(spark, sf_dir):
+        # S3: small allowlist dim + semi join (the BED/lang filter analog)
+        d = _t(spark, sf_dir, "documents")
+        allow = spark.createDataFrame([("en",), ("de",)], "lang string")
+        return (
+            d.join(F.broadcast(allow), "lang", "left_semi")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    q["lang_allowlist_join"] = lang_allowlist_join
+
+    def range_join_events(spark, sf_dir):
+        # J3/A11: interval-overlap join + per-region average (BED analog)
+        e = _t(spark, sf_dir, "events")
+        ranges = spark.createDataFrame(
+            [(0, 0.0, 100.0), (1, 100.0, 250.0), (2, 250.0, 1000.0)],
+            "region_id int, lo double, hi double",
+        )
+        return (
+            e.join(
+                F.broadcast(ranges),
+                (e.value >= ranges.lo) & (e.value < ranges.hi),
+            )
+            .groupBy("region_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            )
+        )
+
+    q["range_join_events"] = range_join_events
+
     # ---- metrics aggregations (SURVEY §2 A8/A10/A11) ----
 
     def stats_counters(spark, sf_dir):
@@ -274,6 +326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality_features(_t(spark, sf_dir, "documents"))
 
     q["quality_features"] = quality_features_q
+
+    def quality_score_q(spark, sf_dir):
+        from gencore_spark.operators.textstats import quality_score
+
+        return quality_score(_t(spark, sf_dir, "documents"))
+
+    q["quality_score"] = quality_score_q
 
     def lang_id_counts(spark, sf_dir):
         from gencore_spark.operators.textstats import lang_id
@@ -566,6 +625,47 @@ def oracle_sql() -> dict[str, str]:
                          ELSE length(string_split_regex(trim(text), '\s+')) END, 1.0),
                          6) AS mean_token_len
             FROM documents
+        """,
+        "mirror_pair_join": """
+            SELECT 'site' || CAST(a.doc_id % 40 AS VARCHAR) AS mk,
+                   count(*) AS n_pairs
+            FROM documents a JOIN documents b
+              ON a.doc_id % 40 = b.doc_id % 40
+             AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            GROUP BY 1
+        """,
+        "lang_allowlist_join": """
+            SELECT lang, count(*) AS n_docs FROM documents
+            WHERE lang IN ('en', 'de') GROUP BY lang
+        """,
+        "range_join_events": """
+            SELECT r.region_id, count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events e
+            JOIN (VALUES (0, 0.0, 100.0), (1, 100.0, 250.0),
+                         (2, 250.0, 1000.0)) r(region_id, lo, hi)
+              ON e.value >= r.lo AND e.value < r.hi
+            GROUP BY r.region_id
+        """,
+        "quality_score": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / greatest(length(text), 1.0), 6) AS punct_ratio,
+                     round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / greatest(length(text), 1.0), 6) AS digit_ratio
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(greatest(
+                     1.0 - least(punct_ratio * 4.0, 0.3)
+                         - least(digit_ratio * 3.0, 0.3)
+                         - CASE WHEN n_tokens < 10 THEN 0.4 ELSE 0.0 END,
+                     0.0), 6) AS quality
+            FROM f
         """,
         "lang_id_counts": r"""
             WITH h AS (

@@ -45,20 +45,36 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(max(2000, int(600_000 * sf)))))
 
+    import subprocess
+
     import __spark_entry__ as entry_mod
     from gencore_spark import dedup_pages
-    from gencore_spark.fixtures import pages_df
     from gencore_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="gencore-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
-    )
-
     tmp = tempfile.mkdtemp(prefix="gencore_bench_")
+    spark = None
     try:
-        # materialize the input corpus (not timed)
+        # materialize the input corpus in a CHILD process (not timed, and a
+        # long-lived generation session measurably degrades later stages on
+        # this host — keep the timing JVM clean)
         pages_path = os.path.join(tmp, "pages")
-        pages_df(spark, n_pages).write.mode("overwrite").parquet(pages_path)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from gencore_spark.fixtures import pages_df; "
+            "from gencore_spark.session import get_spark; "
+            "s = get_spark(app_name='bench-gen', master='local[%d]'); "
+            "pages_df(s, %d).write.mode('overwrite').parquet(%r); s.stop()"
+            % (repo, cpus, n_pages, pages_path)
+        )
+        subprocess.run(
+            [sys.executable, "-c", gen], check=True, stderr=subprocess.DEVNULL
+        )
+
+        spark = get_spark(
+            app_name="gencore-bench", master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
         pages = spark.read.parquet(pages_path)
 
         t0 = time.time()
@@ -94,7 +110,8 @@ def main() -> None:
         print(json.dumps(result))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.stop()
+        if spark is not None:
+            spark.stop()
 
 
 if __name__ == "__main__":
