@@ -216,11 +216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the duplex-pairing self-join (J4): find https/http variant pairs
         d = _t(spark, sf_dir, "documents")
         https = d.select(
-            F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string")).alias("mk"),
+            F.concat(F.lit("site"), (F.floor(F.col("doc_id") / 2) % 40).cast("string")).alias("mk"),
             F.col("doc_id").alias("id_https"),
         ).filter(F.col("doc_id") % 2 == 0)
         http = d.select(
-            F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string")).alias("mk"),
+            F.concat(F.lit("site"), (F.floor(F.col("doc_id") / 2) % 40).cast("string")).alias("mk"),
             F.col("doc_id").alias("id_http"),
         ).filter(F.col("doc_id") % 2 == 1)
         return (
@@ -627,10 +627,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "mirror_pair_join": """
-            SELECT 'site' || CAST(a.doc_id % 40 AS VARCHAR) AS mk,
+            SELECT 'site' || CAST(a.doc_id // 2 % 40 AS VARCHAR) AS mk,
                    count(*) AS n_pairs
             FROM documents a JOIN documents b
-              ON a.doc_id % 40 = b.doc_id % 40
+              ON a.doc_id // 2 % 40 = b.doc_id // 2 % 40
              AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
             GROUP BY 1
         """,

@@ -80,7 +80,11 @@ def _verify_udf(cfg: DedupConfig):
                 lcs_ok[i] = has_common_substring(x, y, m)
         return pd.DataFrame({"jaccard": jac, "lcs_ok": lcs_ok})
 
-    return _verify
+    # nondeterministic marking stops Catalyst from re-inlining the UDF once
+    # per struct-field reference (observed: 4 ArrowEvalPython nodes = the
+    # kernel executing 4x per pair).  The UDF is pure; this is purely an
+    # evaluate-once fence.
+    return _verify.asNondeterministic()
 
 
 def verify_pairs(

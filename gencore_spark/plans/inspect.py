@@ -37,10 +37,21 @@ def scan_read_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+_PY_NODES = r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas"
+
+
 def arrow_eval_count(df: DataFrame) -> int:
-    """Number of Python (Arrow) eval nodes in the physical plan."""
+    """Number of DISTINCT Python (Arrow) eval nodes in the physical plan.
+
+    Formatted explain prints every node twice (tree + details section), so
+    count unique node ids ``(NN) ArrowEvalPython``; fall back to raw count
+    for plans without ids (simple mode).
+    """
     plan = explain_str(df)
-    return len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
+    ids = set(re.findall(rf"\((\d+)\) (?:{_PY_NODES})", plan))
+    if ids:
+        return len(ids)
+    return len(re.findall(_PY_NODES, plan))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
