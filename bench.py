@@ -78,7 +78,8 @@ def main() -> None:
         pages = spark.read.parquet(pages_path)
 
         t0 = time.time()
-        out = dedup_pages(spark, pages, os.path.join(tmp, "work"))
+        out = dedup_pages(spark, pages, os.path.join(tmp, "work"),
+                          checkpoint="memory")
         n_out = out.count()
         headline = time.time() - t0
 

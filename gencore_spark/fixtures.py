@@ -161,7 +161,15 @@ def _doc_text(idx: int, spec: CorpusSpec, vocab: np.ndarray) -> str:
     return text
 
 
-def _url(idx: int, kind: str, rank: int, rng: np.random.Generator) -> str:
+def _url(idx: int, kind: str, rank: int, rng: np.random.Generator,
+         gid: int | None = None) -> str:
+    if kind == "near" and gid is not None and gid % 3 == 0:
+        # refetch group: ONE url re-crawled at different warc_ts with
+        # slightly drifted content — the case that forces doc_id to key on
+        # (url, warc_ts); a url-only id would merge distinct texts.
+        hrng = np.random.default_rng(0x9EF ^ gid)
+        host = f"site{int(hrng.zipf(1.3)) % 997:03d}.example.org"
+        return f"https://{host}/d{gid:010d}"
     if kind == "mirror":
         # same page under scheme/www variants (the duplex analog);
         # host derives from the group so both forms share it
@@ -185,7 +193,7 @@ def generate_rows(indices: np.ndarray, spec: CorpusSpec) -> pd.DataFrame:
         idx = int(idx)
         kind, gid, rank = classify(idx, spec)
         rng = np.random.default_rng((spec.seed << 24) ^ (idx * 2654435761 % (1 << 31)))
-        urls.append(_url(idx, kind, rank, rng))
+        urls.append(_url(idx, kind, rank, rng, gid))
         texts.append(_doc_text(idx, spec, vocab))
         ts[j] = _EPOCH + np.timedelta64(int(rng.integers(0, 365 * 24 * 3600)), "s")
         grng = np.random.default_rng((spec.seed << 23) ^ gid)

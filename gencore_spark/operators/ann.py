@@ -5,11 +5,13 @@ Two paths, matching the scale guidance:
 * ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
   set against the corpus, dot products via ``F.zip_with``/``F.aggregate``
   (pure JVM, no Python), rank with a window.  The correctness baseline.
-* ``lsh_cosine_topk`` — random-hyperplane (sign-LSH) bucketed variant: each
-  vector hashed to a ``n_planes``-bit code; candidates restricted to query
-  buckets (multi-probe via bit flips), then exact re-rank.  The 100TB path:
-  the bucket join replaces the cross join, cutting compared pairs by
-  ~2^bits while recall stays high for near neighbors.
+* ``lsh_cosine_topk`` — random-hyperplane (sign-LSH) bucketed variant with
+  OR-construction banding: each vector hashed to ``bands`` independent
+  short codes; candidates restricted to vectors sharing ANY band code,
+  then exact re-rank.  The 100TB path: the bucket join replaces the cross
+  join, cutting compared pairs by ~2^planes_per_band per band, while
+  banding keeps near-neighbor recall high (P(candidate) =
+  1 - (1 - p^r)^b with p = 1 - θ/π; ≈ 0.99 at cos 0.95 for r=8, b=8).
 """
 
 from __future__ import annotations
@@ -65,21 +67,30 @@ def cosine_topk(
     )
 
 
-def hyperplane_code_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """array<float> → int sign-LSH code (random hyperplanes, seeded)."""
+def banded_hyperplane_codes_udf(
+    dim: int, bands: int, planes_per_band: int, seed: int = 42
+):
+    """array<float> → array<long> of ``bands`` independent sign-LSH codes.
+
+    OR-construction: a pair is a candidate if ANY band code matches.  With
+    per-plane agreement p = 1 - θ/π, P(candidate) = 1 - (1 - p^r)^b; at
+    cos=0.90 (θ≈0.451) and r=8, b=12: ≈ 0.985 — versus ≈0.16 for a single
+    12-plane code.
+    """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, bands * planes_per_band))
+    shifts = np.arange(planes_per_band, dtype=np.uint64)
+    band_mix = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) << np.uint64(32)
 
-    @F.pandas_udf(T.IntegerType())
-    def _code(vec: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _codes(vec: pd.Series) -> pd.Series:
         mat = np.asarray(vec.tolist(), dtype=np.float64)
-        bits = mat @ planes > 0
-        codes = (bits.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(
-            axis=1
-        )
-        return pd.Series(codes.astype(np.int32))
+        bits = (mat @ planes > 0).astype(np.uint64)
+        bits = bits.reshape(len(mat), bands, planes_per_band)
+        codes = (bits << shifts[None, None, :]).sum(axis=2) ^ band_mix[None, :]
+        return pd.Series(list(codes.view(np.int64)))
 
-    return _code
+    return _codes
 
 
 def lsh_cosine_topk(
@@ -87,38 +98,35 @@ def lsh_cosine_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 12,
-    probe_bits: int = 2,
+    bands: int = 8,
+    planes_per_band: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH bucket join + exact re-rank.
+    """Approximate top-k: banded sign-LSH bucket join + exact re-rank.
 
-    Multi-probe: each query also probes buckets at hamming distance 1 in
-    the first ``probe_bits`` planes, trading a small candidate fan-out for
-    much better recall (standard multi-probe LSH).
+    Same output contract as :func:`cosine_topk`; recall@k >= 0.9 on
+    clustered corpora at the defaults (pytest
+    ``test_ann_lsh_topk_recall_vs_brute_force``).
     """
-    code = hyperplane_code_udf(dim, n_planes)
+    code = banded_hyperplane_codes_udf(dim, bands, planes_per_band)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        code(F.col(vec_col)).alias("bucket"),
-    )
+        code(F.col(vec_col)).alias("codes"),
+    ).select("neighbor_id", "cv", F.explode("codes").alias("bucket"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        code(F.col(vec_col)).alias("qcode"),
-    )
-    probes = [F.col("qcode")] + [
-        F.col("qcode").bitwiseXOR(F.lit(1 << b)) for b in range(probe_bits)
-    ]
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+        code(F.col(vec_col)).alias("codes"),
+    ).select("query_id", "qv", F.explode("codes").alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cv", "qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "cos")
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

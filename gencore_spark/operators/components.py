@@ -72,17 +72,29 @@ def connected_components(
     nodes are the caller's concern (they keep their own id).
     """
     cfg = cfg or DEFAULT_CONFIG
-    cur = edges.select(
-        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
-    ).filter(F.col("a") != F.col("b")).distinct()
+    # Materialize the input ONCE before iterating: every star round
+    # references its input 2-3x, so an unmaterialized upstream (e.g. the
+    # full signature+verify tree) would be recomputed ~(2-3)^rounds times.
+    cur = (
+        edges.select(
+            F.col("id_a").cast("long").alias("a"),
+            F.col("id_b").cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
-    # Two large+small rounds per checkpoint/fingerprint cycle: each driver
-    # round trip (materialize + collect) is pure fixed latency, and CC on
-    # near-dup graphs converges in a handful of rounds — halving the action
-    # count costs at most one redundant round after convergence.
-    prev_fp = None
-    for _ in range(cfg.cc_max_iterations):
+    # Warm start: near-dup graphs are unions of near-cliques and converge
+    # in 2-3 large+small rounds, so run the first rounds WITHOUT any
+    # convergence check — each fingerprint is a driver round trip (collect)
+    # of pure fixed latency.  Only then check once per round; the cost of
+    # warm-starting past convergence is one cheap round on a star graph.
+    for _ in range(2):
         cur = _small_star(_large_star(cur))
+    cur = cur.localCheckpoint(eager=True)
+    prev_fp = _fingerprint(cur)
+    for _ in range(cfg.cc_max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:

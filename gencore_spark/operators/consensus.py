@@ -10,10 +10,18 @@ ladder, ``group.cpp:394-501``):
 
 1. winning text = most member votes (exact text_hash count) —
    **votes desc**;
-2. tie → **shorter text** (gencore: most-contained/shorter read wins);
-3. tie → **text_hash asc** (pure determinism);
-4. canonical row among winning-text rows: **url asc**, then **warc_ts asc**
+2. tie → **most-contained text** (``containment`` column when present —
+   the rep's best shingle-containment within a verified neighbor; gencore's
+   representative pick, ``group.cpp:196-267``);
+3. tie → **shorter text** (gencore: shorter read wins);
+4. tie → **text_hash asc** (pure determinism);
+5. canonical row among winning-text rows: **url asc**, then **warc_ts asc**
    (earliest fetch of the lexicographically-first url form).
+
+Execution shape: a single hash aggregation with a ``min_by`` over a struct
+ordering key — NOT a ``row_number`` window.  A window over ``cluster_id``
+makes one boilerplate mega-cluster one straggler task at 100× scale; the
+aggregate gets map-side partial combine for free.
 
 Output columns (the FR/RR aux-tag analog, ``pair.cpp:54-68``):
 
@@ -29,7 +37,7 @@ Python in this stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..config import DedupConfig
 
@@ -60,18 +68,30 @@ def consensus_vote(
         F.countDistinct("text_hash").alias("n_variants"),
     )
 
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("votes").desc(),
-        F.length("text").asc(),
-        F.col("text_hash").asc(),
-        F.col("url").asc(),
-        F.col("warc_ts").asc(),
+    ranked = m.join(votes, ["cluster_id", "text_hash"])
+    order_fields = [(-F.col("votes")).alias("neg_votes")]
+    if "containment" in members.columns:
+        order_fields.append(
+            (-F.coalesce(F.col("containment"), F.lit(0.0))).alias("neg_cont")
+        )
+    order_fields += [
+        F.length("text").alias("text_len"),
+        F.col("text_hash").alias("o_th"),
+        F.col("url").alias("o_url"),
+        F.col("warc_ts").alias("o_ts"),
+    ]
+    payload_cols = [c for c in ranked.columns if c not in ("cluster_id", "votes")]
+    canonical = (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.struct(*payload_cols), F.struct(*order_fields)
+            ).alias("c")
+        )
+        .select("cluster_id", "c.*")
     )
-    ranked = (
-        m.join(votes, ["cluster_id", "text_hash"])
-        .withColumn("rn", F.row_number().over(w))
-    )
-    canonical = ranked.filter(F.col("rn") == 1).drop("rn", "votes")
+    if "containment" in members.columns:
+        canonical = canonical.drop("containment")
 
     mirror_counts = (
         m.groupBy("cluster_id", "mirror_key")

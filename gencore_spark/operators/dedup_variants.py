@@ -9,14 +9,23 @@ pipeline, sharing the kernels of the main pages pipeline:
   (the main pipeline's engine applied to bare documents).
 * :func:`simhash_clusters` — SimHash hamming<=d clustering via pigeonhole
   chunk bucketing (hamming<=3 pairs share one of 4 16-bit chunks — exact,
-  no LSH probability involved).
+  no LSH probability involved), skew-capped like the band join.
 * :func:`ngram_jaccard_clusters` — token n-gram Jaccard (word-level
   near-dup, robust to punctuation/casing noise).
 * :func:`embedding_cosine_clusters` — near-dup by embedding cosine >= tau
-  (semantic dedup), LSH-bucketed candidate generation + exact re-rank.
+  (semantic dedup), banded sign-LSH candidates + exact re-rank.
+
+Scale discipline shared by ALL variants (mirrors ``pipeline.py``):
+every signature/verify kernel runs on |distinct texts| rows, never |docs|
+rows — the exact-dup prepass (:func:`_text_reps`) collapses byte-identical
+copies first and the cluster assignment fans back out through the
+(128-bit) text key.  On a naturally duplicated web corpus that is a
+multiple-x reduction of the most expensive stage.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -24,22 +33,55 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONFIG, DedupConfig
-from ..functions.shingle import shingle_hashes
+from ..functions.shingle import gram_hashes
 from ..functions.similarity import jaccard
-from ..functions.udfs import minhash_udf, signatures_udf
-from .exact import normalize_expr
+from ..functions.udfs import minhash_udf, simhash_udf
+from .exact import _H2_SEED, normalize_expr
 from .components import connected_components
-from .lsh import candidate_pairs
+from .lsh import bucketed_pairs, candidate_pairs
 from .verify import verify_pairs
+
+def _text_key(df: DataFrame) -> DataFrame:
+    return df.withColumn("th1", F.xxhash64("text")).withColumn(
+        "th2", F.xxhash64(F.lit(_H2_SEED), "text")
+    )
+
+
+def _text_reps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup prepass: (reps, mapping).
+
+    reps — one row per distinct text: (th1, th2, rep_id = min doc_id, text);
+    mapping — (doc_id, th1, th2) to fan cluster ids back out to every row.
+    """
+    keyed = _text_key(docs.select("doc_id", "text"))
+    reps = keyed.groupBy("th1", "th2").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.first("text").alias("text"),  # identical within group by key def
+    )
+    return reps, keyed.select("doc_id", "th1", "th2")
+
+
+def _fan_out(mapping: DataFrame, reps: DataFrame, cc: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): every doc inherits its text-rep's component;
+    reps without a component are their own singleton cluster."""
+    rep_assign = (
+        reps.select("th1", "th2", "rep_id")
+        .join(cc, "rep_id", "left")
+        .select("th1", "th2", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+    )
+    return mapping.join(rep_assign, ["th1", "th2"]).select("doc_id", "cluster_id")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """One canonical row per byte-identical text: (canonical_id, fr).
 
-    canonical = min doc_id (deterministic); fr = group size.
+    canonical = min doc_id (deterministic); fr = group size.  The group key
+    is the two-seed 128-bit text hash (64-bit alone expects ~1e4 false
+    merges at 10^12 distinct texts).
     """
     return (
-        docs.groupBy(F.xxhash64("text").alias("text_hash"))
+        _text_key(docs.select("doc_id", "text"))
+        .groupBy("th1", "th2")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("fr"),
@@ -51,28 +93,27 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def minhash_lsh_clusters(
     docs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """(doc_id, cluster_id) near-dup assignment via the main engine."""
-    reps = (
-        docs.select(F.col("doc_id").alias("rep_id"), "text")
-        .withColumn("norm_text", normalize_expr(F.col("text")))
-        .withColumn("sig", signatures_udf(cfg)(F.col("norm_text")))
-        .select(
-            "rep_id", "norm_text",
-            F.col("sig.minhash").alias("minhash"),
-            F.col("sig.simhash").alias("simhash"),
-        )
-    )
-    edges, _ = candidate_pairs(reps.select("rep_id", "minhash"), cfg)
-    verified = verify_pairs(edges, reps, cfg)
+    """(doc_id, cluster_id) near-dup assignment via the main engine.
+
+    Signs one representative per DISTINCT text (see module docstring), so
+    byte-identical copies cost one signature, not one each.
+    """
+    from .exact import with_signatures
+
+    reps, mapping = _text_reps(docs)
+    signed = with_signatures(
+        reps.withColumn("norm_text", normalize_expr(F.col("text"))).select(
+            "th1", "th2", "rep_id", "norm_text"
+        ),
+        cfg,
+    ).select("th1", "th2", "rep_id", "norm_text", "minhash", "simhash")
+    # signed is referenced ~6x downstream (bands, sig joins, text joins,
+    # fan-out); persist so the signature UDF runs once per rep, not per ref
+    signed = signed.persist()
+    edges, _ = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
+    verified = verify_pairs(edges, signed, cfg)
     cc = connected_components(verified.select("id_a", "id_b"), cfg)
-    return (
-        docs.select(F.col("doc_id").alias("rep_id"))
-        .join(cc, "rep_id", "left")
-        .select(
-            F.col("rep_id").alias("doc_id"),
-            F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
-        )
-    )
+    return _fan_out(mapping, signed, cc)
 
 
 def simhash_clusters(
@@ -84,82 +125,80 @@ def simhash_clusters(
     ``max_hamming + 1`` chunks; any pair within hamming d shares at least
     one unchanged chunk, so bucketing by (chunk_idx, chunk_value) has
     RECALL 1.0 by construction (gencore's UMI hamming<=1 grouping has the
-    same exactness property, ``cluster.cpp:41-53``).
+    same exactness property, ``cluster.cpp:41-53``).  Chunk buckets carry
+    the same size cap + anchor-star policy as the band join (boilerplate
+    corpora produce 16-bit-chunk mega-buckets otherwise); only the SimHash
+    kernel runs — no MinHash work in this variant.
     """
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    sh = docs.select(
-        "doc_id", signatures_udf(cfg)(normalize_expr(F.col("text"))).alias("sig")
-    ).select("doc_id", F.col("sig.simhash").alias("simhash"))
-    chunks = [
-        F.struct(
-            F.lit(i).alias("chunk_idx"),
-            F.shiftrightunsigned("simhash", i * bits).bitwiseAND(
-                F.lit((1 << bits) - 1)
-            ).alias("chunk_val"),
-        )
-        for i in range(n_chunks)
-    ]
+    reps, mapping = _text_reps(docs)
+    sh = reps.select(
+        "th1", "th2", "rep_id",
+        simhash_udf(cfg)(normalize_expr(F.col("text"))).alias("simhash"),
+    ).persist()  # referenced by chunks, both pair sides, and fan-out
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", i * bits)
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            for i in range(n_chunks)
+        ]
+    )
     exploded = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
-    a = exploded.select(
-        "chunk_idx", "chunk_val",
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"),
+        "rep_id", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
     )
-    b = exploded.select(
-        "chunk_idx", "chunk_val",
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"),
+    cand, _ = bucketed_pairs(
+        exploded, ["chunk_idx", "chunk_val"], cfg.bucket_size_cap
     )
+    fps = sh.select("rep_id", "simhash")
     pairs = (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming
-        )
+        cand.join(fps.select(F.col("rep_id").alias("id_a"), F.col("simhash").alias("sim_a")), "id_a")
+        .join(fps.select(F.col("rep_id").alias("id_b"), F.col("simhash").alias("sim_b")), "id_b")
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming)
         .select("id_a", "id_b")
-        .distinct()
     )
     cc = connected_components(pairs, cfg)
-    return (
-        docs.select(F.col("doc_id").alias("rep_id"))
-        .join(cc, "rep_id", "left")
-        .select(
-            F.col("rep_id").alias("doc_id"),
-            F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
-        )
-    )
+    return _fan_out(mapping, sh, cc)
+
+
+def _token_ngram_hashes(text: str, n: int, memo: dict[str, int]) -> np.ndarray:
+    """Hashes of word n-grams via ONE numpy rolling hash over a token-hash
+    array (no per-gram Python loop).  Token hashes are crc32 (C-speed,
+    deterministic across processes), memoized per Arrow batch."""
+    toks = text.lower().split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    th = np.empty(len(toks), dtype=np.uint64)
+    get = memo.get
+    for i, t in enumerate(toks):
+        h = get(t)
+        if h is None:
+            h = zlib.crc32(t.encode())
+            memo[t] = h
+        th[i] = h
+    length = min(n, len(toks))
+    return np.unique(gram_hashes(th, length))
 
 
 def _token_ngram_jaccard_udf(n: int):
     @F.pandas_udf(T.DoubleType())
     def _j(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta), dtype=np.float64)
+        memo: dict[str, int] = {}
+        gram_memo: dict[str, np.ndarray] = {}
+
+        def grams(t: str) -> np.ndarray:
+            g = gram_memo.get(t)
+            if g is None:
+                g = _token_ngram_hashes(t, n, memo)
+                gram_memo[t] = g
+            return g
+
         for i, (x, y) in enumerate(zip(ta, tb)):
-            gx = _token_ngrams(x or "", n)
-            gy = _token_ngrams(y or "", n)
-            out[i] = jaccard(gx, gy)
+            out[i] = jaccard(grams(x or ""), grams(y or ""))
         return pd.Series(out)
 
     return _j
-
-
-def _token_ngrams(text: str, n: int) -> np.ndarray:
-    """Hashes of word n-grams: tokens joined by a separator, char-hashed."""
-    toks = text.lower().split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
-        return np.zeros(0, dtype=np.uint64)
-    # k > byte-length → shingle_hashes returns one whole-string hash per gram
-    return np.unique(
-        np.array(
-            [shingle_hashes(g, len(g.encode()) + 1)[0] for g in grams],
-            dtype=np.uint64,
-        )
-    )
 
 
 def ngram_jaccard_clusters(
@@ -172,16 +211,18 @@ def ngram_jaccard_clusters(
 
     Candidates come from the char-shingle LSH (a superset of token-level
     near-dups at these thresholds); verification recomputes Jaccard on the
-    token n-gram sets.
+    token n-gram sets.  Runs on distinct texts only.
     """
-    reps = (
-        docs.select(F.col("doc_id").alias("rep_id"), "text")
-        .withColumn("norm_text", normalize_expr(F.col("text")))
+    reps, mapping = _text_reps(docs)
+    signed = (
+        reps.withColumn("norm_text", normalize_expr(F.col("text")))
         .withColumn("minhash", minhash_udf(cfg)(F.col("norm_text")))
+        .select("th1", "th2", "rep_id", "norm_text", "minhash")
+        .persist()  # referenced by bands, both verify sides, and fan-out
     )
-    edges, _ = candidate_pairs(reps.select("rep_id", "minhash"), cfg)
-    a = reps.select(F.col("rep_id").alias("id_a"), F.col("norm_text").alias("ta"))
-    b = reps.select(F.col("rep_id").alias("id_b"), F.col("norm_text").alias("tb"))
+    edges, _ = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
+    a = signed.select(F.col("rep_id").alias("id_a"), F.col("norm_text").alias("ta"))
+    b = signed.select(F.col("rep_id").alias("id_b"), F.col("norm_text").alias("tb"))
     verified = (
         edges.join(a, "id_a")
         .join(b, "id_b")
@@ -190,14 +231,7 @@ def ngram_jaccard_clusters(
         .select("id_a", "id_b")
     )
     cc = connected_components(verified, cfg)
-    return (
-        docs.select(F.col("doc_id").alias("rep_id"))
-        .join(cc, "rep_id", "left")
-        .select(
-            F.col("rep_id").alias("doc_id"),
-            F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
-        )
-    )
+    return _fan_out(mapping, signed, cc)
 
 
 def embedding_cosine_clusters(
@@ -207,30 +241,35 @@ def embedding_cosine_clusters(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 12,
+    planes_per_band: int = 8,
 ) -> DataFrame:
     """(vec_id, cluster_id): near-dup groups where cosine >= tau.
 
-    Sign-LSH bucket join generates candidates (16-bit codes, multi-probe
-    not needed at tau>=0.9 — near-identical vectors share codes w.h.p.),
-    exact cosine verifies, CC resolves transitivity.
+    Banded sign-LSH (OR-construction, see
+    :func:`gencore_spark.operators.ann.banded_hyperplane_codes_udf`)
+    generates candidates with ~0.98+ pair recall at tau>=0.9; exact cosine
+    verifies; CC resolves transitivity.  Buckets carry the standard size
+    cap + anchor-star + chain policy.
     """
-    from .ann import _cosine, hyperplane_code_udf
+    from .ann import _cosine, banded_hyperplane_codes_udf
 
-    code = hyperplane_code_udf(dim, n_planes=12, seed=cfg.seed)
+    code = banded_hyperplane_codes_udf(dim, bands, planes_per_band, cfg.seed)
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        code(F.col(vec_col)).alias("bucket"),
-    )
-    a = v.select(F.col("bucket"), F.col("vid").alias("id_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("bucket"), F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+        code(F.col(vec_col)).alias("codes"),
+    ).persist()  # referenced by buckets and both cosine-verify sides
+    exploded = v.select(F.col("vid").alias("rep_id"), F.explode("codes").alias("bucket"))
+    cand, _ = bucketed_pairs(exploded, ["bucket"], cfg.bucket_size_cap)
+    va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", _cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= tau)
         .select("id_a", "id_b")
-        .distinct()
     )
     cc = connected_components(pairs, cfg)
     return (

@@ -34,14 +34,19 @@ def normalize_expr(col):
 
 
 def with_doc_ids(pages: DataFrame) -> DataFrame:
-    """Stable 64-bit doc id from the url.
+    """Stable 64-bit doc id from (url, warc_ts).
 
-    xxhash64 collisions at 10^12 urls are ~1e4 expected (birthday bound);
-    the production upgrade is a 128-bit id (two longs from sha2) — the
+    The timestamp is part of the key because re-crawls of one url are
+    distinct fetches in the data model (consensus tie-breaks order by
+    warc_ts): hashing the url alone would give two refetches — possibly
+    with different texts — the same doc_id and silently merge them.
+
+    xxhash64 collisions at 10^12 fetches are ~1e4 expected (birthday
+    bound); the production upgrade is a 128-bit id (two longs) — the
     pipeline only needs ids to be orderable + hashable, so the swap is
     mechanical.  Sandbox scale (<=1e7) is collision-free w.h.p.
     """
-    return pages.withColumn("doc_id", F.xxhash64("url"))
+    return pages.withColumn("doc_id", F.xxhash64("url", "warc_ts"))
 
 
 def route(pages: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
@@ -54,19 +59,28 @@ def route(pages: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
     return main, bypass
 
 
+# second seed for the 128-bit exact-text key: xxhash64 prepends the literal
+# to the hashed input, giving an independent 64-bit family member
+_H2_SEED = -6_148_914_691_236_517_205
+
+
 def with_text_hash(docs: DataFrame) -> DataFrame:
-    """Exact-duplicate key: hash of the RAW text bytes (byte-identical
-    semantics, not normalized) — two rows are exact dups iff text matches
-    byte for byte."""
-    return docs.withColumn("text_hash", F.xxhash64("text"))
+    """Exact-duplicate key: TWO independent 64-bit hashes of the RAW text
+    bytes (byte-identical semantics, not normalized) — two rows are exact
+    dups iff text matches byte for byte.  A single 64-bit key expects ~1e4
+    false merges at 10^12 distinct texts (birthday bound); the two-hash
+    128-bit key expects ~1e-15."""
+    return docs.withColumn("text_hash", F.xxhash64("text")).withColumn(
+        "text_hash2", F.xxhash64(F.lit(_H2_SEED), "text")
+    )
 
 
 def distinct_text_reps(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """One representative row per distinct text: (text_hash, rep_id,
-    norm_text, n_members).  rep_id = min doc_id in the exact group
+    """One representative row per distinct text: (text_hash, text_hash2,
+    rep_id, norm_text, n_members).  rep_id = min doc_id in the exact group
     (deterministic)."""
     return (
-        docs.groupBy("text_hash")
+        docs.groupBy("text_hash", "text_hash2")
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.count(F.lit(1)).alias("n_members"),

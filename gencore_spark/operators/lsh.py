@@ -10,13 +10,20 @@ Skew strategy (explicit, logged — BASELINE.json north_star requires it):
 
 * buckets with ``size <= bucket_size_cap``: all-pairs self-join within the
   bucket (exact candidate semantics);
-* buckets larger than the cap (boilerplate mega-buckets): **anchor-star**
-  edges — every member is paired with the bucket's min-id member only.
-  O(n) edges instead of O(n^2), and connectivity through the anchor means a
-  true dup mega-cluster still collapses to ONE component after verify+CC.
-  Unlike the reference (which silently drops such clusters,
-  ``group.cpp:170-173``), recall is preserved; the choice is logged in the
-  metrics (``n_capped_buckets``).
+* buckets larger than the cap (boilerplate mega-buckets): **anchor-star +
+  random-order chain** edges — every member pairs with the bucket's min-id
+  member AND with its neighbor in a per-bucket pseudorandom order.  Still
+  O(n) edges instead of O(n^2).  The star connects a HOMOGENEOUS mega-dup
+  bucket through its anchor; the chains protect the HETEROGENEOUS case
+  (two distinct near-dup groups colliding in one bucket, where the
+  non-anchor group's star edges all fail verification): same-group members
+  adjacent in the chain produce verified edges, and because the chain
+  order is re-randomized per band, a group's members connect w.h.p. across
+  the several bands a J>=0.7 pair collides in.  Every capped-bucket edge
+  still goes through full verification — capped members are re-verified,
+  never silently reduced (SURVEY §7).  Unlike the reference (which
+  silently drops such clusters, ``group.cpp:170-173``), recall is
+  preserved; the choice is logged in the metrics (``n_capped_buckets``).
 
 All joins below are equi-joins on ``(band_id, band_hash)``; AQE skew-join
 splitting handles residual imbalance inside the cap.
@@ -55,53 +62,81 @@ def band_explode(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     ).select("rep_id", "b.band_id", "b.band_hash")
 
 
-def candidate_pairs(
-    signed: DataFrame, cfg: DedupConfig
+def bucketed_pairs(
+    exploded: DataFrame, bucket_cols: list[str], cap: int, id_col: str = "rep_id"
 ) -> tuple[DataFrame, DataFrame]:
-    """Distinct candidate edges (id_a < id_b) + bucket-stat metrics df.
+    """Generic skew-capped bucket self-join.
 
-    Returns ``(edges, bucket_stats)`` where bucket_stats has one row per
-    (band_id, band_hash) with its size and whether it was capped.
+    ``exploded`` has one row per (item, bucket membership); returns
+    ``(edges, bucket_stats)``:
+
+    * edges — distinct (id_a < id_b): all-pairs within buckets of size
+      <= ``cap``; anchor-star PLUS pseudorandom-order chain edges within
+      larger buckets (module docstring: the quarantine re-verify — capped
+      members keep O(1) candidate edges each, all fully verified
+      downstream, covering both homogeneous and heterogeneous
+      mega-buckets);
+    * bucket_stats — one row per bucket: size + capped flag.
+
+    Shared by the MinHash band join, the SimHash pigeonhole join, and the
+    embedding sign-LSH join — one skew policy, tested once.
     """
-    exploded = band_explode(signed, cfg)
+    from pyspark.sql import Window
 
-    sizes = exploded.groupBy("band_id", "band_hash").agg(
+    sizes = exploded.groupBy(*bucket_cols).agg(
         F.count(F.lit(1)).alias("bucket_size"),
-        F.min("rep_id").alias("anchor_id"),
+        F.min(id_col).alias("anchor_id"),
     )
     # singleton buckets generate no pairs — drop them before the join
     # (the dominant case: unique docs)
     active = sizes.filter(F.col("bucket_size") >= 2)
 
     tagged = exploded.join(
-        active.withColumn("capped", F.col("bucket_size") > cfg.bucket_size_cap),
-        ["band_id", "band_hash"],
+        active.withColumn("capped", F.col("bucket_size") > cap),
+        bucket_cols,
     )
 
     small = tagged.filter(~F.col("capped"))
-    a = small.select(
-        "band_id", "band_hash", F.col("rep_id").alias("id_a")
-    )
-    b = small.select(
-        "band_id", "band_hash", F.col("rep_id").alias("id_b")
-    )
+    a = small.select(*bucket_cols, F.col(id_col).alias("id_a"))
+    b = small.select(*bucket_cols, F.col(id_col).alias("id_b"))
     pairs_small = (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, bucket_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
 
-    # anchor-star edges for capped mega-buckets
-    pairs_big = (
-        tagged.filter(F.col("capped") & (F.col("rep_id") != F.col("anchor_id")))
+    # capped mega-buckets: anchor-star ∪ per-bucket random-order chain.
+    # O(2n) edges; the chain order hash mixes the bucket key, so each
+    # band re-randomizes adjacency (heterogeneous-bucket recovery).
+    big = tagged.filter(F.col("capped"))
+    pairs_star = big.filter(F.col(id_col) != F.col("anchor_id")).select(
+        F.least("anchor_id", id_col).alias("id_a"),
+        F.greatest("anchor_id", id_col).alias("id_b"),
+    )
+    order = F.xxhash64(F.lit(0x51A), *bucket_cols, id_col)
+    w = Window.partitionBy(*bucket_cols).orderBy(order)
+    pairs_chain = (
+        big.withColumn("prev", F.lag(id_col).over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col(id_col)))
         .select(
-            F.least("anchor_id", "rep_id").alias("id_a"),
-            F.greatest("anchor_id", "rep_id").alias("id_b"),
+            F.least("prev", id_col).alias("id_a"),
+            F.greatest("prev", id_col).alias("id_b"),
         )
     )
 
-    edges = pairs_small.unionByName(pairs_big).distinct()
-    bucket_stats = sizes.withColumn(
-        "capped", F.col("bucket_size") > cfg.bucket_size_cap
-    )
+    edges = pairs_small.unionByName(pairs_star).unionByName(pairs_chain).distinct()
+    bucket_stats = sizes.withColumn("capped", F.col("bucket_size") > cap)
     return edges, bucket_stats
+
+
+def candidate_pairs(
+    signed: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct candidate edges (id_a < id_b) + bucket-stat metrics df.
+
+    Returns ``(edges, bucket_stats)``.  Capped buckets contribute
+    anchor-star + chain edges (see :func:`bucketed_pairs`), so neither
+    homogeneous nor heterogeneous mega-buckets cost recall.
+    """
+    exploded = band_explode(signed, cfg)
+    return bucketed_pairs(exploded, ["band_id", "band_hash"], cfg.bucket_size_cap)

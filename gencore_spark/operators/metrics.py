@@ -44,6 +44,38 @@ def cluster_size_histogram(canonical: DataFrame, cap: int = 100) -> list[dict]:
     return [{"size": r["size"], "clusters": r["clusters"]} for r in rows]
 
 
+def partition_and_size_stats(
+    canonical: DataFrame, cap: int = 100, max_partitions: int = 512
+) -> tuple[list[dict], list[dict]]:
+    """(partition_lineage, cluster_size_histogram) from ONE Spark job.
+
+    One groupBy over (partition_id, capped fr) — bounded at
+    max_partitions × cap rows — then both views are derived driver-side.
+    Replaces two separate collect jobs in the pipeline finalizer."""
+    rows = (
+        canonical.select(
+            F.spark_partition_id().alias("partition"),
+            F.least(F.col("fr"), F.lit(cap)).alias("size"),
+        )
+        .groupBy("partition", "size")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_part: dict[int, int] = {}
+    by_size: dict[int, int] = {}
+    for r in rows:
+        by_part[r["partition"]] = by_part.get(r["partition"], 0) + r["n"]
+        by_size[r["size"]] = by_size.get(r["size"], 0) + r["n"]
+    lineage = [
+        {"partition": p, "rows": n}
+        for p, n in sorted(by_part.items())[:max_partitions]
+    ]
+    histogram = [
+        {"size": s, "clusters": n} for s, n in sorted(by_size.items())
+    ]
+    return lineage, histogram
+
+
 class RunReport:
     """Accumulates stage metrics; writes one REPORT.json per run."""
 

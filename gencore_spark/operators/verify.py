@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..config import DedupConfig
 from ..functions.shingle import shingle_hashes
-from ..functions.similarity import has_common_substring, jaccard
+from ..functions.similarity import has_common_substring
 
 
 def _verify_udf(cfg: DedupConfig):
@@ -38,23 +38,28 @@ def _verify_udf(cfg: DedupConfig):
             [
                 T.StructField("jaccard", T.DoubleType()),
                 T.StructField("lcs_ok", T.BooleanType()),
+                T.StructField("cont_a", T.DoubleType()),
+                T.StructField("cont_b", T.DoubleType()),
             ]
         )
     )
     def _verify(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
         jac = np.empty(len(ta), dtype=np.float64)
         lcs_ok = np.zeros(len(ta), dtype=bool)
+        cont_a = np.empty(len(ta), dtype=np.float64)
+        cont_b = np.empty(len(ta), dtype=np.float64)
         k = cfg.shingle_k
         # per-batch shingle memo: anchor-star edges repeat one text
         # thousands of times within a bucket (the skew block)
-        memo: dict[int, np.ndarray] = {}
+        memo: dict[str, np.ndarray] = {}
 
         def sh(t: str) -> np.ndarray:
-            key = hash(t)
-            s = memo.get(key)
+            # keyed by the string itself: dict equality handles hash
+            # collisions, same amortized speed
+            s = memo.get(t)
             if s is None:
                 s = shingle_hashes(t, k)
-                memo[key] = s
+                memo[t] = s
             return s
 
         for i, (x, y) in enumerate(zip(ta, tb)):
@@ -63,8 +68,17 @@ def _verify_udf(cfg: DedupConfig):
             if x == y:
                 jac[i] = 1.0
                 lcs_ok[i] = True
+                cont_a[i] = cont_b[i] = 1.0
                 continue
-            j = jaccard(sh(x), sh(y))
+            sa, sb = sh(x), sh(y)
+            na, nb = sa.shape[0], sb.shape[0]
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            j = inter / max(na + nb - inter, 1)
+            # shingle containment of each side in the other — the
+            # representative-election signal (isPartOf, bamutil.cpp:293-336):
+            # a truncated doc has containment ≈ 1 in its source
+            cont_a[i] = inter / na if na else 1.0
+            cont_b[i] = inter / nb if nb else 1.0
             jac[i] = j
             if j < cfg.jaccard_threshold or cfg.lcs_min_ratio <= 0:
                 # LCS is only decision-relevant when Jaccard passed — skip
@@ -78,7 +92,9 @@ def _verify_udf(cfg: DedupConfig):
             else:
                 m = int(cfg.lcs_min_ratio * min(len(x), len(y)))
                 lcs_ok[i] = has_common_substring(x, y, m)
-        return pd.DataFrame({"jaccard": jac, "lcs_ok": lcs_ok})
+        return pd.DataFrame(
+            {"jaccard": jac, "lcs_ok": lcs_ok, "cont_a": cont_a, "cont_b": cont_b}
+        )
 
     # nondeterministic marking stops Catalyst from re-inlining the UDF once
     # per struct-field reference (observed: 4 ArrowEvalPython nodes = the
@@ -112,10 +128,13 @@ def verify_pairs(
     joined = edges.join(sa, "id_a").join(sb, "id_b")
 
     # gate 0 — MinHash-estimated Jaccard, pure JVM (zip_with over the
-    # signature arrays).  With n=128 perms the estimator's std dev at
-    # J=0.7 is sqrt(J(1-J)/128) ≈ 0.04, so gating at threshold − 3σ
-    # (−0.12) rejects essentially no true pairs while pruning the bulk of
-    # false band collisions before any Python runs.
+    # signature arrays).  The estimator's std dev at the threshold is
+    # sqrt(J(1-J)/num_perms), so gating at threshold − 3σ rejects
+    # essentially no true pairs while pruning the bulk of false band
+    # collisions before any Python runs.  Computed from cfg (not a
+    # literal) so smaller num_perms configs keep the 3σ guarantee.
+    j = cfg.jaccard_threshold
+    margin = 3.0 * (j * (1.0 - j) / cfg.num_perms) ** 0.5
     est = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -123,7 +142,7 @@ def verify_pairs(
     ) / F.lit(cfg.num_perms)
     joined = (
         joined.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= cfg.jaccard_threshold - 0.12)
+        .filter(F.col("est_jaccard") >= j - margin)
         .drop("mh_a", "mh_b")
     )
 
@@ -150,7 +169,18 @@ def verify_pairs(
             "id_a",
             "id_b",
             F.col("v.jaccard").alias("jaccard"),
+            F.col("v.cont_a").alias("cont_a"),
+            F.col("v.cont_b").alias("cont_b"),
             "sim_hamming",
         )
     )
     return verified
+
+
+def rep_containment(verified: DataFrame) -> DataFrame:
+    """(rep_id, containment): each rep's best shingle-containment within any
+    verified neighbor — the election score (most-contained wins ties,
+    mirroring the reference's representative pick, ``group.cpp:196-267``)."""
+    a = verified.select(F.col("id_a").alias("rep_id"), F.col("cont_a").alias("c"))
+    b = verified.select(F.col("id_b").alias("rep_id"), F.col("cont_b").alias("c"))
+    return a.unionByName(b).groupBy("rep_id").agg(F.max("c").alias("containment"))

@@ -1,15 +1,25 @@
 """End-to-end near-dup dedup + consensus pipeline with checkpoint/resume.
 
-Stage DAG (each stage materializes one snapshot via
-:class:`~gencore_spark.sources.TableIO`; a re-run skips every stage whose
-snapshot exists — the resumability the reference gets from its coordinate
-watermark, ``gencore.cpp:318-390``, re-expressed as table snapshots):
+Stage DAG (each stage materializes exactly once; a re-run in snapshot mode
+skips every stage whose snapshot exists — the resumability the reference
+gets from its coordinate watermark, ``gencore.cpp:318-390``, re-expressed
+as table snapshots):
 
     pages ──► s1_docs      ids, routing, exact text_hash        (exact.py)
           ──► s2_reps      distinct texts + MinHash/SimHash     (exact.py)
           ──► s3_edges     LSH buckets → candidates → verified  (lsh/verify)
           ──► s4_cc        connected components                 (components)
           ──► s5_canonical consensus vote + bypass re-union     (consensus)
+
+Two materialization modes (``checkpoint=``):
+
+* ``"stages"`` (default) — every stage snapshots to the work table and is
+  read back; crash/re-run resumes mid-pipeline without recomputation.  The
+  production mode for multi-hour 100 TB jobs.
+* ``"memory"``  — stages materialize via ``localCheckpoint`` (executor
+  memory/disk), no write + read-back cycles and no per-stage row-count
+  jobs.  ~2× less fixed orchestration per run; for throughput benchmarking
+  and ephemeral runs where resume isn't worth the I/O.
 
 Scale notes (the design is for 10^3 executors / 10^14 bytes):
 
@@ -18,10 +28,10 @@ Scale notes (the design is for 10^3 executors / 10^14 bytes):
 * every expensive stage runs on |distinct texts|, not |docs|;
 * shuffles: s1 none (narrow), s2 one (groupBy text_hash), s3 two
   (bucket groupBy + pair join) + two hash joins (verify text fetch),
-  s4 O(log n) CC rounds, s5 two aggs + one window — all keyed on ids or
-  hashes, AQE handles skew inside the cap, the mega-bucket cap handles the
-  rest;
-* ``localCheckpoint`` truncates CC lineage; stage snapshots truncate
+  s4 O(log n) CC rounds, s5 three hash aggs (no windows) — all keyed on
+  ids or hashes, AQE handles skew inside the cap, the mega-bucket cap
+  handles the rest;
+* ``localCheckpoint`` truncates CC lineage; stage materialization truncates
   everything else.
 """
 
@@ -42,11 +52,13 @@ from .operators.exact import (
     with_text_hash,
 )
 from .operators.lsh import candidate_pairs
-from .operators.metrics import RunReport, cluster_size_histogram, partition_lineage
+from .operators.metrics import RunReport, partition_and_size_stats
 from .operators.verify import verify_pairs
 from .sources import TableIO
 
-DOC_COLUMNS = ["doc_id", "url", "warc_ts", "text", "lang", "text_hash", "bypass"]
+DOC_COLUMNS = [
+    "doc_id", "url", "warc_ts", "text", "lang", "text_hash", "text_hash2", "bypass",
+]
 
 
 class DedupPipeline:
@@ -55,16 +67,26 @@ class DedupPipeline:
         spark: SparkSession,
         workdir: str,
         cfg: DedupConfig = DEFAULT_CONFIG,
+        checkpoint: str = "stages",
     ):
+        if checkpoint not in ("stages", "memory"):
+            raise ValueError(f"checkpoint must be 'stages' or 'memory': {checkpoint}")
         self.spark = spark
         self.cfg = cfg
         self.io = TableIO(spark, workdir)
         self.workdir = workdir
+        self.checkpoint = checkpoint
         self.report = RunReport()
 
     # -- stages ------------------------------------------------------------
 
     def _stage(self, name: str, build, force: bool) -> DataFrame:
+        if self.checkpoint == "memory":
+            # materialize once in executor memory; no write/read-back and no
+            # row-count job (each saved job is fixed latency at any scale)
+            df = build().localCheckpoint(eager=True)
+            self.report.stage(name, resumed=False)
+            return df
         if not force and self.io.exists(name):
             self.report.stage(name, resumed=True)
             return self.io.read(name)
@@ -87,9 +109,12 @@ class DedupPipeline:
         docs = self._stage("s1_docs", build_docs, force)
 
         def build_reps() -> DataFrame:
-            main = docs.filter(~F.col("bypass")).select("doc_id", "text", "text_hash")
+            main = docs.filter(~F.col("bypass")).select(
+                "doc_id", "text", "text_hash", "text_hash2"
+            )
             return with_signatures(distinct_text_reps(main, cfg), cfg).select(
-                "text_hash", "rep_id", "n_members", "norm_text", "minhash", "simhash"
+                "text_hash", "text_hash2", "rep_id", "n_members",
+                "norm_text", "minhash", "simhash",
             )
 
         reps = self._stage("s2_reps", build_reps, force)
@@ -116,23 +141,35 @@ class DedupPipeline:
         cc = self._stage("s4_cc", build_cc, force)
 
         def build_canonical() -> DataFrame:
-            # every distinct text gets a cluster: CC assignment or itself
-            rep_clusters = reps.select("text_hash", "rep_id").join(
-                cc, "rep_id", "left"
-            ).select(
-                "text_hash",
-                F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
+            from .operators.verify import rep_containment
+
+            # every distinct text gets a cluster: CC assignment or itself,
+            # plus its election score (best containment in a verified
+            # neighbor — the A6 most-contained rule)
+            rep_clusters = (
+                reps.select("text_hash", "text_hash2", "rep_id")
+                .join(cc, "rep_id", "left")
+                .join(rep_containment(verified), "rep_id", "left")
+                .select(
+                    "text_hash", "text_hash2",
+                    F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
+                    "containment",
+                )
             )
             main_members = (
                 docs.filter(~F.col("bypass"))
-                .join(rep_clusters, "text_hash")
-                .select("doc_id", "url", "warc_ts", "text", "lang", "text_hash", "cluster_id")
+                .join(rep_clusters, ["text_hash", "text_hash2"])
+                .select(
+                    "doc_id", "url", "warc_ts", "text", "lang", "text_hash",
+                    "cluster_id", "containment",
+                )
             )
             bypass_members = (
                 docs.filter(F.col("bypass"))
                 .select(
                     "doc_id", "url", "warc_ts", "text", "lang", "text_hash",
                     F.col("doc_id").alias("cluster_id"),
+                    F.lit(None).cast("double").alias("containment"),
                 )
             )
             members = main_members.unionByName(bypass_members)
@@ -151,6 +188,19 @@ class DedupPipeline:
         return rows if rows is not None else df.count()
 
     def _finalize(self, docs, reps, verified, canonical) -> None:
+        if self.checkpoint == "memory":
+            # light report: one count job total (dup_rate needs both ends;
+            # docs_in is one cheap scan of the checkpointed s1)
+            n_docs = docs.count()
+            n_out = canonical.count()
+            self.report.stage(
+                "summary",
+                docs_in=n_docs,
+                docs_out=n_out,
+                dup_rate=round(1.0 - n_out / max(n_docs, 1), 6),
+            )
+            self.report.write(os.path.join(self.workdir, "REPORT.json"))
+            return
         n_docs = self._recorded_rows("s1_docs", docs)
         n_out = self._recorded_rows("s5_canonical", canonical)
         self.report.stage(
@@ -161,10 +211,11 @@ class DedupPipeline:
             docs_out=n_out,
             dup_rate=round(1.0 - n_out / max(n_docs, 1), 6),
         )
+        lineage, histogram = partition_and_size_stats(canonical)
         self.report.stage(
             "lineage",
-            canonical_partitions=partition_lineage(canonical),
-            cluster_size_histogram=cluster_size_histogram(canonical),
+            canonical_partitions=lineage,
+            cluster_size_histogram=histogram,
         )
         self.report.write(os.path.join(self.workdir, "REPORT.json"))
 
@@ -175,6 +226,9 @@ def dedup_pages(
     workdir: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     force: bool = False,
+    checkpoint: str = "stages",
 ) -> DataFrame:
     """One-call entry: pages(url, warc_ts, html, text, lang) → canonical."""
-    return DedupPipeline(spark, workdir, cfg).run(pages, force=force)
+    return DedupPipeline(spark, workdir, cfg, checkpoint=checkpoint).run(
+        pages, force=force
+    )

@@ -52,6 +52,26 @@ def test_planted_structure():
         assert extract_text(h) == t
 
 
+def test_refetch_groups_share_url_not_ts():
+    """Near groups with gid % 3 == 0 are refetches: one url, many fetches.
+
+    Guards the doc_id=(url, warc_ts) contract — a url-only id would merge
+    these distinct-text rows."""
+    spec = corpus_spec(5000)
+    lo = spec.skew_n + spec.exact_n
+    pdf = generate_rows(np.arange(lo, lo + 300), spec)
+    nr = pdf[pdf.dup_kind == "near"]
+    refetch = nr[nr.true_cluster_id % 3 == 0]
+    assert len(refetch) > 0
+    g = refetch.groupby("true_cluster_id")
+    assert (g.url.nunique() == 1).all()          # one url per refetch group
+    assert (g.warc_ts.nunique() == g.size()).all()  # every fetch distinct ts
+    assert (g.text.nunique() > 1).any()          # content drifted
+    other = nr[nr.true_cluster_id % 3 != 0]
+    og = other.groupby("true_cluster_id").filter(lambda g: len(g) >= 2)
+    assert (og.groupby("true_cluster_id").url.nunique() > 1).all()
+
+
 def test_near_dup_jaccard_band():
     spec = corpus_spec(5000)
     lo = spec.skew_n + spec.exact_n

@@ -110,7 +110,7 @@ def test_lsh_topk_subset_of_exact_ranking(spark, emb):
     out = lsh_cosine_topk(
         emb.filter(F.col("vec_id") >= 10),
         emb.filter(F.col("vec_id") < 10),
-        dim=64, k=3, n_planes=8, probe_bits=4,
+        dim=64, k=3,
     )
     rows = out.collect()
     assert all(1 <= r["rank"] <= 3 for r in rows)
@@ -202,6 +202,101 @@ def test_embedding_cosine_clusters_duplicate_vectors(spark, emb):
     )
     assert bad.count() == 0
     assert out.count() == dup.count()
+
+
+def _clustered_vectors(n_groups=20, per_group=4, dim=64, seed=7, spread=0.25):
+    """Groups of noisy copies around base vectors: within-group cosine
+    lands in ~[0.9, 0.99] (NOT 1.0), across-group near 0."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_groups, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for g in range(n_groups):
+        for _ in range(per_group):
+            noise = rng.standard_normal(dim) * spread / np.sqrt(dim)
+            v = base[g] + noise
+            rows.append((vid, g, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_heterogeneous_mega_bucket_keeps_recall(spark):
+    """Two planted near-dup groups sharing heavy boilerplate collide in the
+    same (capped) LSH buckets; every bucket exceeds the cap.  Anchor-star
+    alone would orphan the higher-id group (its edges to the other group's
+    anchor fail verification) — the chain edges must keep BOTH groups
+    internally connected, and verification must keep them separate."""
+    import numpy as np
+
+    from gencore_spark.config import DedupConfig
+    from gencore_spark.operators.dedup_variants import minhash_lsh_clusters
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:04d}" for i in range(2000)]
+    boiler = " ".join(rng.choice(vocab, 110))
+    bases = [" ".join(rng.choice(vocab, 45)) for _ in range(2)]
+    rows = []
+    for g, base_id in ((0, 0), (1, 1000)):
+        toks = (boiler + " " + bases[g]).split()
+        for m in range(30):
+            t = list(toks)
+            for _ in range(2):  # ~2 token edits per member
+                t[int(rng.integers(0, len(t)))] = str(rng.choice(vocab))
+            rows.append((base_id + m, " ".join(t)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = DedupConfig(bucket_size_cap=8)
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in minhash_lsh_clusters(df, cfg).collect()}
+    a = [out[i] for i in range(30)]
+    b = [out[1000 + i] for i in range(30)]
+    # within-group pair recall >= 0.99 → each group is one component
+    assert len(set(a)) == 1, f"group A split into {len(set(a))} clusters"
+    assert len(set(b)) == 1, f"group B split into {len(set(b))} clusters"
+    # and the groups did NOT merge (verification separates them)
+    assert set(a) != set(b)
+
+
+def test_embedding_cosine_clusters_recall_at_tau09(spark):
+    """Pair recall >= 0.95 vs brute-force cosine at tau=0.9 on
+    NON-identical near-dup vectors (the banded-LSH recall guarantee)."""
+    from gencore_spark.operators.dedup_variants import embedding_cosine_clusters
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<float>"
+    )
+    # numpy truth: all pairs with cosine >= 0.9
+    mat = np.asarray([v for _, _, v in rows], dtype=np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(rows), k=1)
+    truth = set(zip(iu[0][sims[iu] >= 0.9].tolist(), iu[1][sims[iu] >= 0.9].tolist()))
+    assert len(truth) >= 50  # the fixture really has non-trivial structure
+
+    out = {r["vec_id"]: r["cluster_id"]
+           for r in embedding_cosine_clusters(df, tau=0.9).collect()}
+    hit = sum(1 for a, b in truth if out[a] == out[b])
+    assert hit / len(truth) >= 0.95
+
+
+def test_ann_lsh_topk_recall_vs_brute_force(spark):
+    """recall@5 >= 0.9 of the LSH path against exact cosine top-k on
+    clustered (non-orthogonal) vectors."""
+    from gencore_spark.operators.ann import cosine_topk, lsh_cosine_topk
+
+    rows = _clustered_vectors(n_groups=15, per_group=6, seed=11)
+    df = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<float>"
+    )
+    # one query per group; its 5 groupmates (cos >= 0.9) stay in the corpus
+    corpus = df.filter(F.col("vec_id") % 6 != 0)
+    queries = df.filter(F.col("vec_id") % 6 == 0)
+    exact = cosine_topk(corpus, queries, k=5).collect()
+    approx = lsh_cosine_topk(corpus, queries, dim=64, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(truth & got) / len(truth) >= 0.9
 
 
 # ------------------------------------------------------------- multimodal

@@ -24,20 +24,29 @@ def run(spark, tmp_path_factory):
 
 
 def _assignment(spark, workdir):
-    docs = spark.read.parquet(f"{workdir}/s1_docs").select("url", "doc_id", "text_hash")
+    # join key is (url, warc_ts): refetch groups in the fixture reuse one
+    # url across fetches, so url alone is not a row key
+    docs = spark.read.parquet(f"{workdir}/s1_docs").select(
+        "url", "warc_ts", "doc_id", "text_hash"
+    )
     reps = spark.read.parquet(f"{workdir}/s2_reps").select("text_hash", "rep_id")
     cc = spark.read.parquet(f"{workdir}/s4_cc")
     return (
         docs.join(reps, "text_hash", "left")
         .join(cc, "rep_id", "left")
-        .select("url", F.coalesce("cluster_id", "rep_id", "doc_id").alias("out_cluster"))
+        .select(
+            "url", "warc_ts",
+            F.coalesce("cluster_id", "rep_id", "doc_id").alias("out_cluster"),
+        )
     )
 
 
 def test_recall_gate(spark, run):
     """Dup-pair recall >= 0.99 (BASELINE.json) over planted truth pairs."""
     full, _, workdir, _ = run
-    j = full.select("url", "true_cluster_id").join(_assignment(spark, workdir), "url")
+    j = full.select("url", "warc_ts", "true_cluster_id").join(
+        _assignment(spark, workdir), ["url", "warc_ts"]
+    )
     p = lambda c: F.sum(F.expr(f"{c}*({c}-1)/2"))
     rec = (
         j.groupBy("true_cluster_id", "out_cluster").count().agg(p("count")).collect()[0][0]
@@ -50,7 +59,9 @@ def test_no_cluster_mixing(spark, run):
     """No output cluster merges docs from different true clusters
     (precision side: planted clusters are mutually dissimilar)."""
     full, _, workdir, _ = run
-    j = full.select("url", "true_cluster_id").join(_assignment(spark, workdir), "url")
+    j = full.select("url", "warc_ts", "true_cluster_id").join(
+        _assignment(spark, workdir), ["url", "warc_ts"]
+    )
     mixed = (
         j.groupBy("true_cluster_id", "out_cluster")
         .count()

@@ -55,7 +55,9 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
     pages = spark.read.parquet(pages_path)
     n = pages.count()
     t0 = time.time()
-    out = dedup_pages(spark, pages, workdir)
+    # memory mode: the scaling law being measured is the compute pipeline,
+    # not the snapshot-write I/O path (which is resume-only machinery)
+    out = dedup_pages(spark, pages, workdir, checkpoint="memory")
     n_out = out.count()
     wall = time.time() - t0
     print(
