@@ -101,7 +101,9 @@ def with_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     byte-bound).  Repartitioning to the cluster's core count is the
     documented pattern for UDF-heavy stages.
     """
-    parallelism = reps.sparkSession.sparkContext.defaultParallelism
+    # 3x cores: finer partitions smooth text-length skew across the
+    # Arrow/UDF workers (round-robin rows, uneven bytes)
+    parallelism = reps.sparkSession.sparkContext.defaultParallelism * 3
     return (
         reps.repartition(parallelism)
         .withColumn("sig", signatures_udf(cfg)(F.col("norm_text")))

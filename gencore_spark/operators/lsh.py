@@ -83,10 +83,12 @@ def bucketed_pairs(
     """
     from pyspark.sql import Window
 
+    # persist: sizes feeds the pair join AND the caller's bucket-stats
+    # metrics — sharing the cache avoids recomputing the explode+groupBy
     sizes = exploded.groupBy(*bucket_cols).agg(
         F.count(F.lit(1)).alias("bucket_size"),
         F.min(id_col).alias("anchor_id"),
-    )
+    ).persist()
     # singleton buckets generate no pairs — drop them before the join
     # (the dominant case: unique docs)
     active = sizes.filter(F.col("bucket_size") >= 2)

@@ -102,3 +102,48 @@ class RunReport:
         with open(path, "w") as f:
             json.dump(out, f, indent=2, default=str)
         return out
+
+    def write_html(self, path: str, **extra: Any) -> str:
+        """Human-readable run report (the S6 sink; reference:
+        ``htmlreporter.cpp:405-430`` renders the same stats tables the JSON
+        reporter emits).  Pure stdlib string building — no template deps."""
+        import html
+
+        out = self.summary(**extra)
+        rows = []
+        for name, st in out["stages"].items():
+            cells = "".join(
+                f"<td>{html.escape(str(k))}</td><td>{html.escape(str(v))}</td>"
+                for k, v in st.items()
+                if not isinstance(v, (list, dict))
+            )
+            rows.append(f"<tr><th>{html.escape(name)}</th>{cells}</tr>")
+        hist = ""
+        lineage = out["stages"].get("lineage", {})
+        if lineage.get("cluster_size_histogram"):
+            bars = "".join(
+                f"<tr><td>{b['size']}</td><td>{b['clusters']}</td>"
+                f"<td><div style='background:#69c;height:10px;"
+                f"width:{min(b['clusters'], 400)}px'></div></td></tr>"
+                for b in lineage["cluster_size_histogram"]
+            )
+            hist = (
+                "<h2>Duplication histogram</h2>"
+                "<table><tr><th>cluster size</th><th>clusters</th><th></th></tr>"
+                f"{bars}</table>"
+            )
+        doc = (
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>gencore_spark run report</title>"
+            "<style>body{font-family:sans-serif;margin:2em}"
+            "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
+            "padding:2px 8px;text-align:left}</style></head><body>"
+            f"<h1>gencore_spark run report</h1>"
+            f"<p>wall: {out['wall_sec']}s</p>"
+            f"<h2>Stages</h2><table>{''.join(rows)}</table>{hist}"
+            "</body></html>"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(doc)
+        return path

@@ -218,6 +218,7 @@ class DedupPipeline:
             cluster_size_histogram=histogram,
         )
         self.report.write(os.path.join(self.workdir, "REPORT.json"))
+        self.report.write_html(os.path.join(self.workdir, "REPORT.html"))
 
 
 def dedup_pages(

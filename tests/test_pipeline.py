@@ -127,6 +127,21 @@ def test_report_written(run):
     assert pipe.report.stages["s3_buckets"]["n_capped_buckets"] >= 1
 
 
+def test_html_report_written(run):
+    import os
+
+    _, _, workdir, pipe = run
+    # REPORT.html on disk may have been overwritten by the resume test's
+    # re-run (whose skipped stages legitimately lack s3_buckets counters);
+    # render from the original run's report for the content assertions.
+    assert open(os.path.join(workdir, "REPORT.html")).read().startswith(
+        "<!doctype html>"
+    )
+    path = pipe.report.write_html(os.path.join(workdir, "REPORT_full.html"))
+    html = open(path).read()
+    assert "Duplication histogram" in html and "s3_buckets" in html
+
+
 def test_mirror_rr_counted(run):
     _, canonical, _, _ = run
     assert canonical.filter(F.col("rr") > 0).count() > 0
