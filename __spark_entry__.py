@@ -471,6 +471,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf_dir):
+        # IVF scale path: KMeans coarse quantizer + n_probe cell probing,
+        # exact re-rank inside probed cells (rows-only: approximate op —
+        # cell boundaries, not SQL, decide the candidate set)
+        from gencore_spark.operators.ann import ivf_cosine_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return ivf_cosine_topk(
+            emb.filter(F.col("vec_id") >= 10),
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_cells=16,
+            n_probe=4,
+        )
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def doc_fingerprints(spark, sf_dir):
         from gencore_spark.operators.textstats import fingerprint_udf
 

@@ -299,6 +299,29 @@ def test_ann_lsh_topk_recall_vs_brute_force(spark):
     assert len(truth & got) / len(truth) >= 0.9
 
 
+def test_ann_ivf_topk_recall_vs_brute_force(spark):
+    """recall@5 >= 0.9 of the IVF path (KMeans coarse quantizer + n_probe
+    cells) against exact cosine top-k on the same clustered vectors."""
+    from gencore_spark.operators.ann import cosine_topk, ivf_cosine_topk
+
+    rows = _clustered_vectors(n_groups=15, per_group=6, seed=11)
+    df = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<float>"
+    )
+    corpus = df.filter(F.col("vec_id") % 6 != 0)
+    queries = df.filter(F.col("vec_id") % 6 == 0)
+    exact = cosine_topk(corpus, queries, k=5).collect()
+    approx = ivf_cosine_topk(corpus, queries, k=5, n_cells=8, n_probe=3).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(truth & got) / len(truth) >= 0.9
+    # every query produced a full result set from its probed cells
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+
+
 # ------------------------------------------------------------- multimodal
 
 

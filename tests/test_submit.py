@@ -1,0 +1,62 @@
+"""spark-submit --py-files deployment smoke (the north rule's launch mode).
+
+Builds the package zip, then runs the real ``spark-submit`` binary with
+``--py-files`` against a tiny parquet corpus — proving the zip is a
+sufficient unit of deployment (no repo checkout on the "cluster").
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUBMIT = shutil.which("spark-submit")
+
+
+def test_build_zip(tmp_path):
+    from tools.submit_job import build_zip
+    import zipfile
+
+    dest = build_zip(str(tmp_path / "gencore_spark.zip"))
+    names = zipfile.ZipFile(dest).namelist()
+    assert "gencore_spark/__init__.py" in names
+    assert "gencore_spark/pipeline.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+@pytest.mark.skipif(SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files(spark, tmp_path):
+    from gencore_spark.fixtures import pages_with_truth, PAGES_COLUMNS
+    from tools.submit_job import build_zip
+
+    pages_dir = str(tmp_path / "pages")
+    full, _ = pages_with_truth(spark, 300)
+    full.select(*PAGES_COLUMNS).write.parquet(pages_dir)
+    zip_path = build_zip(str(tmp_path / "gencore_spark.zip"))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            SUBMIT, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "submit_job.py"),
+            "--input", pages_dir,
+            "--workdir", str(tmp_path / "work"),
+            "--checkpoint", "memory",
+        ],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path),  # NOT the repo: the zip must be self-sufficient
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert 0 < out["canonical_docs"] <= 300

@@ -1,0 +1,100 @@
+"""spark-submit entrypoint: the cluster-mode front door the north rule names.
+
+Usage (cluster):
+
+    python tools/submit_job.py --build-zip dist/gencore_spark.zip
+    spark-submit --master yarn --deploy-mode client \
+        --py-files dist/gencore_spark.zip tools/submit_job.py \
+        --input s3://bucket/pages --workdir s3://bucket/work \
+        --output s3://bucket/canonical
+
+Usage (local smoke, what ``tests/test_submit.py`` runs):
+
+    spark-submit --master local[4] --py-files dist/gencore_spark.zip \
+        tools/submit_job.py --input /tmp/pages --workdir /tmp/work
+
+The package import happens AFTER SparkSession construction: ``--py-files``
+archives are placed on the driver's ``sys.path`` by context init, so a
+top-level ``import gencore_spark`` would fail under spark-submit even
+though the zip is shipped.  Nothing here assumes the repo checkout exists
+on the cluster — the zip is the unit of deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_zip(dest: str) -> str:
+    """Package gencore_spark/ into a --py-files zip (pure-python, no deps)."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "gencore_spark")
+    os.makedirs(os.path.dirname(os.path.abspath(dest)) or ".", exist_ok=True)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    return dest
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--build-zip", metavar="DEST",
+                   help="write the --py-files package zip and exit")
+    p.add_argument("--input", help="pages parquet/table path "
+                   "(url, warc_ts, html, lang[, text] columns)")
+    p.add_argument("--workdir", help="stage-snapshot + report directory")
+    p.add_argument("--output", help="optional canonical-docs parquet path")
+    p.add_argument("--checkpoint", choices=["stages", "memory"],
+                   default="stages",
+                   help="'stages' = resumable snapshots (default); "
+                   "'memory' = localCheckpoint fast path")
+    p.add_argument("--min-cluster-size", type=int, default=None,
+                   help="A7 gate: drop clusters smaller than this")
+    args = p.parse_args(argv)
+
+    if args.build_zip:
+        print(build_zip(args.build_zip))
+        return
+    if not args.input or not args.workdir:
+        p.error("--input and --workdir are required (or use --build-zip)")
+
+    # Session first (spark-submit supplies master/memory/… via conf) …
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("gencore-spark-dedup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    # … then the shipped package import (now on sys.path via --py-files).
+    from gencore_spark import DedupPipeline
+    from gencore_spark.config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    if args.min_cluster_size is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, min_cluster_size=args.min_cluster_size)
+
+    pages = spark.read.parquet(args.input)
+    pipe = DedupPipeline(spark, args.workdir, cfg, checkpoint=args.checkpoint)
+    canonical = pipe.run(pages)
+    if args.output:
+        canonical.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = canonical.count()
+    print(json.dumps({"canonical_docs": n, "workdir": args.workdir}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
