@@ -1,3 +1,11 @@
-from .incremental import incremental_exact_dedup, signature_stream
+from .incremental import (
+    incremental_exact_dedup,
+    signature_stream,
+    streaming_dup_counter,
+)
 
-__all__ = ["incremental_exact_dedup", "signature_stream"]
+__all__ = [
+    "incremental_exact_dedup",
+    "signature_stream",
+    "streaming_dup_counter",
+]

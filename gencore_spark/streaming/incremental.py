@@ -17,6 +17,12 @@ does not stream).
 * :func:`signature_stream` — enrich arriving pages with
   (text_hash, minhash, simhash) using the SAME pinned UDFs as the batch
   pipeline, so downstream batch consolidation never recomputes signatures.
+* :func:`streaming_dup_counter` — custom stateful operator
+  (``applyInPandasWithState``): per-text running duplication counter with
+  event-time state eviction — the live analog of the reference's
+  coordinate-watermark eviction tick (``gencore.cpp:318-390``): state for
+  a text hash is dropped once the event-time watermark passes its last
+  fetch + the configured gap, emitting the final support count.
 """
 
 from __future__ import annotations
@@ -43,6 +49,87 @@ def incremental_exact_dedup(
         pages_stream.withColumn("text_hash", F.xxhash64("text"))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def streaming_dup_counter(
+    pages_stream: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+    evict_gap_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-text running duplication counter with event-time state eviction.
+
+    Output rows (update mode): ``(text_hash, first_url, first_ts, n_seen,
+    final)`` — one row per key per microbatch while the key is live
+    (``final=false``), plus one closing row (``final=true``) when the
+    watermark passes ``last_ts + evict_gap_ms`` and the state is evicted.
+    ``n_seen`` is the FR/supporting-reads analog, counted live.
+
+    State per key is three scalars — bounded by the number of distinct
+    texts inside the eviction horizon, exactly like the reference's
+    in-flight cluster map between eviction ticks.
+    """
+    import pandas as pd  # local: keep module import light
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "text_hash long, first_url string, first_ts timestamp, "
+        "n_seen long, final boolean"
+    )
+    state_schema = "first_url string, first_ts timestamp, n_seen long, last_ms long"
+
+    def update(key, pdfs, state: GroupState):
+        (text_hash,) = key
+        if state.hasTimedOut:
+            first_url, first_ts, n_seen, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "text_hash": [text_hash],
+                    "first_url": [first_url],
+                    "first_ts": [first_ts],
+                    "n_seen": [n_seen],
+                    "final": [True],
+                }
+            )
+            return
+        first_url, first_ts, n_seen, last_ms = (None, None, 0, 0)
+        if state.exists:
+            first_url, first_ts, n_seen, last_ms = state.get
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["warc_ts", "url"])
+            if first_url is None:
+                first_url = pdf["url"].iloc[0]
+                first_ts = pdf["warc_ts"].iloc[0]
+            n_seen += len(pdf)
+            last_ms = max(
+                last_ms, int(pdf["warc_ts"].max().timestamp() * 1000)
+            )
+        state.update((first_url, first_ts, n_seen, last_ms))
+        state.setTimeoutTimestamp(last_ms + evict_gap_ms)
+        yield pd.DataFrame(
+            {
+                "text_hash": [text_hash],
+                "first_url": [first_url],
+                "first_ts": [first_ts],
+                "n_seen": [n_seen],
+                "final": [False],
+            }
+        )
+
+    return (
+        pages_stream.withColumn("text_hash", F.xxhash64("text"))
+        .withWatermark(ts_col, watermark)
+        .groupBy("text_hash")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -161,3 +161,53 @@ def test_signature_stream_matches_batch(spark, tmp_path):
 
     assert list(got["minhash"]) == list(sigs[0].view(np.int64))
     assert got["simhash"] == int(fps[0].view(np.int64))
+
+
+def test_streaming_dup_counter_state_eviction(spark, tmp_path):
+    """applyInPandasWithState counter: live updates per microbatch, final
+    row once the event-time watermark evicts the key's state."""
+    import datetime
+
+    from gencore_spark.streaming import streaming_dup_counter
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    batches = [
+        [("https://a/1", t(12), "text alpha", "en"),
+         ("https://a/2", t(12), "text alpha", "en"),
+         ("https://b/1", t(12), "text beta", "en")],
+        # 15:00 − 10 min watermark ⇒ wm 14:50 > 12:00 + 1h eviction horizon
+        [("https://c/1", t(15), "text gamma", "en")],
+        # third batch: timeouts fire against the post-batch-2 watermark
+        [("https://d/1", t(16), "text delta", "en")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(batches[0] and spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counted = streaming_dup_counter(stream, watermark="10 minutes")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("dupcnt")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM dupcnt").collect()
+    finals = {r["first_url"]: r["n_seen"] for r in rows if r["final"]}
+    live = {r["first_url"]: r["n_seen"] for r in rows if not r["final"]}
+    # alpha (2 fetches) and beta evicted with their final counts
+    assert finals.get("https://a/1") == 2
+    assert finals.get("https://b/1") == 1
+    # live updates were emitted for every key while in state
+    assert live.get("https://a/1") == 2 and live.get("https://c/1") == 1
