@@ -57,7 +57,18 @@ def consensus_vote(
 
     ``min_cluster_size`` (A7 ``supporting_reads`` gate,
     ``cluster.cpp:138-182``): clusters smaller than it are dropped when set.
+
+    Shuffle-byte discipline: the election itself runs on metadata only —
+    ``text`` (the fat payload) is stripped up front (its length, the only
+    thing the vote needs, is precomputed) and re-attached to the winners
+    by one ``doc_id`` join at the end.  Carrying text through the
+    vote/mirror/stats shuffles moved every member's text 2-4x; this moves
+    each text once.
     """
+    has_text = "text" in members.columns
+    if has_text:
+        text_by_doc = members.select("doc_id", "text")
+        members = members.withColumn("text_len", F.length("text")).drop("text")
     m = members.withColumn("mirror_key", mirror_key())
 
     votes = m.groupBy("cluster_id", "text_hash").agg(
@@ -75,7 +86,7 @@ def consensus_vote(
             (-F.coalesce(F.col("containment"), F.lit(0.0))).alias("neg_cont")
         )
     order_fields += [
-        F.length("text").alias("text_len"),
+        (F.col("text_len") if has_text else F.length("text")).alias("o_len"),
         F.col("text_hash").alias("o_th"),
         F.col("url").alias("o_url"),
         F.col("warc_ts").alias("o_ts"),
@@ -106,4 +117,6 @@ def consensus_vote(
     gate = min_cluster_size if min_cluster_size is not None else cfg.min_cluster_size
     if gate > 1:
         out = out.filter(F.col("fr") >= gate)
+    if has_text:
+        out = out.drop("text_len").join(text_by_doc, "doc_id")
     return out

