@@ -93,12 +93,16 @@ def connected_components(
     # 2-3x self-references hit the checkpointed base — cheap scans) with no
     # convergence fingerprint (a driver round trip each); one checkpoint
     # then truncates both cycles at once.
+    # Checkpoint + fingerprint FUSED into one job per cycle: the checkpoint
+    # is lazy and the fingerprint collect is the action that materializes
+    # it — halving the driver round trips of the loop (they are pure fixed
+    # cost, the scaling-efficiency tax).
     for _ in range(2):
         cur = _small_star(_large_star(cur))
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=False)
     prev_fp = _fingerprint(cur)
     for _ in range(cfg.cc_max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

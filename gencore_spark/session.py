@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd over default lz4: web text shuffles are the fat payload and
+        # compress ~2x better under zstd, trading cheap CPU for the memory/
+        # IO bandwidth that saturates first as cores scale (measured at
+        # 300k pages: local[2] 637->506s, local[8] 201->157s, 2->8 scaling
+        # efficiency 0.79->0.81)
+        .config("spark.io.compression.codec", "zstd")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

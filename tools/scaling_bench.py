@@ -12,7 +12,13 @@ Methodology notes (both matter on this host):
 * every level runs in a FRESH subprocess (fresh JVM + fresh Python
   workers) — long-lived local-mode JVMs degrade measurably, which would
   contaminate whichever level runs second;
-* the corpus is pre-materialized parquet; generation is excluded.
+* the corpus is pre-materialized parquet; generation is excluded;
+* each level is CPU-AFFINITY-BOUND to exactly its core count
+  (``taskset -c 0..N-1``): bare ``local[N]`` caps only task slots, while
+  GC, shuffle, compression and Netty threads silently borrow the host's
+  other cores — which inflates the small level's throughput and
+  understates scaling efficiency.  A real N-core executor has N cores for
+  EVERYTHING, so the bound measurement is the honest proxy.
 
 Results are appended to BENCH/BASELINE.md.
 
@@ -103,8 +109,11 @@ def main() -> None:
             for cores in LEVELS:
                 workdir = os.path.join(tmp, f"work{cores}_{rep}")
                 shutil.rmtree(workdir, ignore_errors=True)
+                # bind the whole process tree (JVM + Python workers) to
+                # exactly `cores` CPUs — see module docstring
                 proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--level",
+                    ["taskset", "-c", f"0-{cores - 1}",
+                     sys.executable, os.path.abspath(__file__), "--level",
                      str(cores), pages_path, workdir],
                     check=True, capture_output=True, text=True,
                     env={**os.environ, "PYTHONPATH": REPO},
