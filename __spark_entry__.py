@@ -45,6 +45,43 @@ _DUP_DOCS_SQL = """
 """
 
 
+def _e2e_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages-shaped corpus from ``documents`` for the flagship
+    e2e oracle (BASELINE.json input_hint columns: url, warc_ts, html, text,
+    lang).  Variants per doc:
+
+    * original     https://ex.org/d{id}       (text as-is)
+    * mirror       http://www.ex.org/d{id}    (identical text — the duplex
+      url-forms analog; folds to the same mirror key as the original)
+    * 3rd fetch    https://c2.ex.org/d{id}    (identical text, id % 3 == 0)
+    * near-dup     https://nd.ex.org/d{id}    (text + ' qq', id % 5 == 0;
+      char-shingle J >= 0.86 at the corpus' minimum text length)
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def page(src, url_prefix, ts_off, text_expr):
+        return src.select(
+            F.concat(
+                F.lit(url_prefix), F.lit("ex.org/d"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") + F.lit(ts_off)
+            ).alias("warc_ts"),
+            F.encode(text_expr, "utf-8").alias("html"),
+            text_expr.alias("text"),
+            F.col("lang"),
+        )
+
+    orig = page(d, "https://", 0, F.col("text"))
+    mirror = page(d, "http://www.", 1, F.col("text"))
+    extra = page(d.filter(F.col("doc_id") % 3 == 0), "https://c2.", 2, F.col("text"))
+    neardup = page(
+        d.filter(F.col("doc_id") % 5 == 0), "https://nd.", 3,
+        F.concat(F.col("text"), F.lit(" qq")),
+    )
+    return orig.unionByName(mirror).unionByName(extra).unionByName(neardup)
+
+
 # --------------------------------------------------------------------------
 # entry: flagship query
 # --------------------------------------------------------------------------
@@ -263,6 +300,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+                # the per-region average the reference reports at report
+                # time (bed.cpp:64-79) — derived from cents/count so both
+                # engines divide the same exact integers
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / F.count(F.lit(1)) / 100.0,
+                    6,
+                ).alias("avg_value"),
             )
         )
 
@@ -438,6 +483,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_clusters"] = near_dup_clusters
 
     def simhash_dedup_clusters(spark, sf_dir):
+        # Deliberately rows-only: a SQL oracle was evaluated and REJECTED.
+        # Measured on this corpus (2026-08-17): 28 pairs of DISTINCT texts
+        # sit within hamming<=3, several with char-shingle J < 0.3 — i.e.
+        # the hamming-ball grouping is neither the exact-text grouping nor
+        # any Jaccard-threshold grouping, and SimHash itself is not
+        # expressible in DuckDB SQL.  Exactness of the pigeonhole bucketing
+        # (recall 1.0 by construction) is pytest'd instead
+        # (test_simhash_clusters_exact_dups_merge + kernel goldens).
         from gencore_spark.operators.dedup_variants import simhash_clusters
 
         return simhash_clusters(_dup_docs(spark, sf_dir))
@@ -520,6 +573,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = multimodal_features
 
     def pages_dedup_e2e(spark, sf_dir):
+        # Flagship end-to-end: the FULL pipeline (normalize → exact prepass
+        # → signatures → LSH → verify → CC → consensus vote) over a
+        # pages-shaped corpus derived deterministically from ``documents``:
+        # every doc appears under its canonical url AND an http/www mirror
+        # url (identical text), every 3rd doc gets a third fetch, every 5th
+        # doc gets a near-duplicate variant (text + ' qq', J >= 0.86 — above
+        # every probabilistic gate's safe zone, see oracle comment).  The
+        # projection excludes hash-valued columns (doc_id/cluster_id are
+        # xxhash64-keyed; DuckDB cannot reproduce them) — cluster structure
+        # is pinned through (fr, rr, n_variants, vote_ratio) per canonical.
+        import tempfile
+
+        from gencore_spark import dedup_pages
+
+        pages = _e2e_pages(spark, sf_dir)
+        workdir = tempfile.mkdtemp(prefix="gencore_e2e_")
+        out = dedup_pages(spark, pages, workdir, checkpoint="memory")
+        return out.select(
+            "url", "text", "lang", "fr", "rr", "n_variants",
+            "vote_ratio", "low_confidence",
+        )
+
+    q["pages_dedup_e2e"] = pages_dedup_e2e
+
+    def pages_dedup_fixture_e2e(spark, sf_dir):
+        # The seeded fixture corpus variant (planted skew/exact/near/mirror
+        # structure at higher dup density); rows-only here — its ground
+        # truth is closed-form and pytest'd (tests/test_pipeline.py).
         import tempfile
 
         from gencore_spark import dedup_pages
@@ -528,7 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         workdir = tempfile.mkdtemp(prefix="gencore_e2e_")
         return dedup_pages(spark, pages_df(spark, 1000), workdir)
 
-    q["pages_dedup_e2e"] = pages_dedup_e2e
+    q["pages_dedup_fixture_e2e"] = pages_dedup_fixture_e2e
 
     return q
 
@@ -679,7 +760,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": """
             SELECT r.region_id, count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                     AS sum_cents
+                     AS sum_cents,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         / count(*) / 100.0, 6) AS avg_value
             FROM events e
             JOIN (VALUES (0, 0.0, 100.0), (1, 100.0, 250.0),
                          (2, 250.0, 1000.0)) r(region_id, lo, hi)
@@ -849,5 +932,125 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings c, embeddings q
               WHERE c.vec_id >= 10 AND q.vec_id < 10 AND c.vec_id != q.vec_id
             ) WHERE rank <= 5
+        """,
+        # Flagship e2e oracle: the whole pipeline (exact prepass → near-dup
+        # clustering → consensus election with mirror/rr accounting) over
+        # the _e2e_pages corpus, recomputed from first principles: exact
+        # all-pairs char-5-shingle Jaccard over distinct normalized texts,
+        # recursive-CTE connected components, then the election ladder
+        # (votes desc → containment desc → shorter raw text).  Validity
+        # rests on measured margins of this corpus (pinned by
+        # tests/test_entry_oracles.py): every true pair has J >= 0.86 and
+        # simhash hamming <= 9 (gates cannot flip a decision: the MinHash
+        # 3-sigma pre-gate sits at 0.659, the hamming gate at 16, LCS is
+        # skipped at J >= 0.85, and no pair lies in [0.5, 0.86)), and no
+        # election tie survives past the text-length rung (the next rung is
+        # xxhash64 order, which SQL cannot reproduce — the pytest asserts
+        # the corpus never reaches it).
+        "pages_dedup_e2e": r"""
+            WITH RECURSIVE
+            texts AS (
+              SELECT doc_id * 2 AS rid, text FROM documents
+              UNION ALL
+              SELECT doc_id * 2 + 1, text || ' qq' FROM documents
+              WHERE doc_id % 5 = 0
+            ),
+            pg AS (
+              SELECT 'https://ex.org/d' || CAST(doc_id AS VARCHAR) AS url,
+                     text, lang, doc_id * 2 AS rid FROM documents
+              UNION ALL
+              SELECT 'http://www.ex.org/d' || CAST(doc_id AS VARCHAR),
+                     text, lang, doc_id * 2 FROM documents
+              UNION ALL
+              SELECT 'https://c2.ex.org/d' || CAST(doc_id AS VARCHAR),
+                     text, lang, doc_id * 2 FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'https://nd.ex.org/d' || CAST(doc_id AS VARCHAR),
+                     text || ' qq', lang, doc_id * 2 + 1 FROM documents
+              WHERE doc_id % 5 = 0
+            ),
+            norm AS (SELECT rid,
+                            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+                     FROM texts),
+            sh AS (
+              SELECT DISTINCT rid, substring(nt, CAST(i AS INT), 5) AS g
+              FROM norm, LATERAL unnest(range(1, greatest(length(nt) - 3, 2))) t(i)
+            ),
+            sizes AS (SELECT rid, count(*) AS n FROM sh GROUP BY rid),
+            inter AS (
+              SELECT a.rid AS ia, b.rid AS ib, count(*) AS m
+              FROM sh a JOIN sh b ON a.g = b.g AND a.rid < b.rid
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT ia, ib, m, sa.n AS na, sb.n AS nb
+              FROM inter
+              JOIN sizes sa ON sa.rid = ia JOIN sizes sb ON sb.rid = ib
+              WHERE m * 1.0 / (sa.n + sb.n - m) >= 0.7
+            ),
+            cont AS (
+              SELECT rid, max(c) AS containment FROM (
+                SELECT ia AS rid, m * 1.0 / na AS c FROM pairs
+                UNION ALL SELECT ib, m * 1.0 / nb FROM pairs
+              ) GROUP BY rid
+            ),
+            sym AS (SELECT ia AS a, ib AS b FROM pairs
+                    UNION SELECT ib, ia FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            walk(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.a, w.label FROM sym s JOIN walk w ON s.b = w.node
+              WHERE w.label < s.a
+            ),
+            comp AS (SELECT node, min(label) AS cid FROM walk GROUP BY node),
+            members AS (
+              SELECT pg.url, pg.text, pg.lang, pg.rid,
+                     coalesce(c.cid, pg.rid) AS cid
+              FROM pg LEFT JOIN comp c ON c.node = pg.rid
+            ),
+            votes AS (SELECT cid, rid, count(*) AS votes
+                      FROM members GROUP BY cid, rid),
+            stats AS (SELECT cid, count(*) AS fr,
+                             count(DISTINCT rid) AS n_variants
+                      FROM members GROUP BY cid),
+            winner AS (
+              SELECT cid, rid, votes FROM (
+                SELECT v.cid, v.rid, v.votes,
+                       row_number() OVER (
+                         PARTITION BY v.cid
+                         ORDER BY v.votes DESC,
+                                  coalesce(ct.containment, 0.0) DESC,
+                                  length(t.text) ASC, t.text ASC) AS rn
+                FROM votes v
+                JOIN texts t ON t.rid = v.rid
+                LEFT JOIN cont ct ON ct.rid = v.rid
+              ) WHERE rn = 1
+            ),
+            canon AS (
+              SELECT m.cid, min(m.url) AS url FROM members m
+              JOIN winner w ON w.cid = m.cid AND w.rid = m.rid
+              GROUP BY m.cid
+            ),
+            rrc AS (
+              SELECT m.cid, count(*) AS n
+              FROM members m JOIN canon c2 ON c2.cid = m.cid
+              WHERE regexp_replace(regexp_replace(m.url,
+                      '^https?://(www\.)?', ''), '/$', '')
+                  = regexp_replace(regexp_replace(c2.url,
+                      '^https?://(www\.)?', ''), '/$', '')
+              GROUP BY m.cid
+            )
+            SELECT cn.url AS url, t.text AS text, mb.lang AS lang,
+                   s.fr AS fr, CAST(rrc.n - 1 AS INT) AS rr,
+                   s.n_variants AS n_variants,
+                   round(w.votes * 1.0 / s.fr, 6) AS vote_ratio,
+                   round(w.votes * 1.0 / s.fr, 6) < 0.8 AS low_confidence
+            FROM canon cn
+            JOIN winner w ON w.cid = cn.cid
+            JOIN texts t ON t.rid = w.rid
+            JOIN stats s ON s.cid = cn.cid
+            JOIN members mb ON mb.url = cn.url
+            JOIN rrc ON rrc.cid = cn.cid
         """,
     }

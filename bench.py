@@ -85,6 +85,7 @@ def main() -> None:
 
         queries = entry_mod.queries()
         per_query: dict[str, float] = {}
+        failed: list[str] = []
         for name in BENCH_QUERIES:
             fn = queries.get(name)
             if fn is None:
@@ -92,8 +93,12 @@ def main() -> None:
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
+            except Exception as e:
+                # name the failure loudly — a silent -1.0 reads as "fast"
+                # in a naive diff of BENCH_r{N}.json files
+                print(f"BENCH FAILURE {name}: {e!r}", file=sys.stderr)
                 per_query[name] = -1.0
+                failed.append(name)
                 continue
             per_query[name] = round(time.time() - t0, 3)
 
@@ -108,6 +113,8 @@ def main() -> None:
             "docs_per_sec": round(n_pages / headline, 1),
             "cpus": cpus,
         }
+        if failed:
+            result["failed_queries"] = failed
         print(json.dumps(result))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

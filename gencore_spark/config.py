@@ -56,6 +56,11 @@ class DedupConfig:
     # supporting_reads gate cluster.cpp:138-182) ---
     min_text_len: int = 16        # shorter docs bypass dedup (F2 analog)
     min_cluster_size: int = 1     # emit clusters with fr >= this (A7 analog)
+    # A5 ratio-threshold fallback (reference: the base vote flags weak
+    # majorities via score-ratio thresholds, group.cpp:394-501 with knobs
+    # in options.cpp:18-30): a canonical whose winning text holds less
+    # than this share of the cluster is emitted with low_confidence=true.
+    vote_ratio_threshold: float = 0.8
 
     # --- skew control (reference: low-complexity cluster skip
     # group.cpp:142-175, threshold options.cpp:31) ---

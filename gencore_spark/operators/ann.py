@@ -101,31 +101,40 @@ def banded_hyperplane_codes_udf(
     return _codes
 
 
-def ivf_cosine_topk(
+class IVFIndex:
+    """A built IVF index: tiny centroid matrix + cell-assigned corpus table.
+
+    ``centroids`` is (n_cells, dim) L2-normalized numpy (driver-side — a
+    few KB); ``cells`` is a DataFrame (neighbor_id, cv, cell).  When built
+    with ``storage_path`` the cells live as a parquet table PARTITIONED BY
+    ``cell`` — at 100 TB a probe reads only ~n_probe/n_cells of the corpus
+    because partition pruning on the ``cell`` key does the inverted-list
+    lookup (the FAISS invlist, expressed as a Spark partitioned table).
+    """
+
+    def __init__(self, centroids: np.ndarray, cells: DataFrame):
+        self.centroids = centroids
+        self.cells = cells
+
+
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+    max_iter: int = 10,
+    storage_path: str | None = None,
+) -> IVFIndex:
+    """BUILD step: train the KMeans coarse quantizer (cosine distance,
+    fixed seed — distributed, one pass per Lloyd iteration) and assign
+    every corpus vector to its nearest centroid via the JVM-side model
+    transform.  This is the expensive one-time cost at 100 TB; probes must
+    NOT repeat it (see :func:`ivf_probe`).
 
-    1. Train KMeans (cosine distance, fixed seed) on the corpus vectors —
-       distributed, one pass per Lloyd iteration;
-    2. assign every corpus vector to its nearest centroid (``cell``) —
-       JVM-side model transform, no Python in the scan;
-    3. each query probes its ``n_probe`` nearest cells; candidates are the
-       corpus vectors in those cells (equi-join on ``cell``), re-ranked by
-       exact cosine.
-
-    Same output contract as :func:`cosine_topk`.  Expected candidate
-    fraction is ~``n_probe / n_cells``; recall@k is tested vs brute force
-    (``test_ann_ivf_topk_recall_vs_brute_force``).  Misses happen only for
-    true neighbors that fall in a non-probed cell — raise ``n_probe`` to
-    trade compute for recall, exactly FAISS's IVF knob.
+    With ``storage_path`` the index persists: cells as cell-partitioned
+    parquet + centroids alongside, reloadable via :func:`ivf_load` in a
+    later session with no KMeans anywhere in the probe plan.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -136,17 +145,66 @@ def ivf_cosine_topk(
     ).withColumn("fv", array_to_vector("cv"))
     km = KMeans(
         k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell",
-        distanceMeasure="cosine", maxIter=10,
+        distanceMeasure="cosine", maxIter=max_iter,
     )
     model = km.fit(c)
     cells = model.transform(c).select("neighbor_id", "cv", "cell")
-
-    # centroid matrix is tiny (n_cells × dim): closure-captured into one
-    # vectorized UDF that emits each query's n_probe nearest cells
     cents = np.stack([np.asarray(ct) for ct in model.clusterCenters()])
-    cents_n = cents / np.maximum(
-        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    if storage_path is not None:
+        import os
+
+        spark = corpus.sparkSession
+        cells.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(storage_path, "cells")
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(storage_path, "centroids")
+        )
+        return ivf_load(spark, storage_path)
+    return IVFIndex(cents, cells)
+
+
+def ivf_load(spark, storage_path: str) -> IVFIndex:
+    """Load a persisted IVF index — no model object, no KMeans: the probe
+    plan is a pruned scan of the cell-partitioned parquet."""
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(storage_path, "centroids"))
+        .orderBy("cell")
+        .collect()
     )
+    cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cells = spark.read.parquet(os.path.join(storage_path, "cells")).select(
+        "neighbor_id", "cv", "cell"
+    )
+    return IVFIndex(cents, cells)
+
+
+def ivf_probe(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PROBE step: each query visits its ``n_probe`` nearest cells
+    (centroid matrix is closure-captured into one vectorized UDF) and
+    re-ranks candidates by exact cosine.  Pure probe — never refits the
+    quantizer (plan-tested: no KMeans stage), so the 100 TB cost is
+    ~n_probe/n_cells of a scan, with partition pruning doing the inverted
+    list lookup when the index is storage-backed.
+
+    Same output contract as :func:`cosine_topk`.
+    """
+    cents_n = index.centroids
+    n_probe = min(n_probe, len(cents_n))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vec: pd.Series) -> pd.Series:
@@ -164,7 +222,7 @@ def ivf_cosine_topk(
         .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
     )
     scored = (
-        cells.join(F.broadcast(q), "cell")
+        index.cells.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "cos")
@@ -176,6 +234,33 @@ def ivf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Convenience wrapper: :func:`ivf_build` once + :func:`ivf_probe`.
+
+    Expected candidate fraction is ~``n_probe / n_cells``; recall@k is
+    tested vs brute force (``test_ann_ivf_topk_recall_vs_brute_force``).
+    Misses happen only for true neighbors in a non-probed cell — raise
+    ``n_probe`` to trade compute for recall, exactly FAISS's IVF knob.
+    For repeated query batches use build/probe directly (the build is the
+    expensive step and must amortize).
+    """
+    index = ivf_build(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    return ivf_probe(
+        index, queries, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
 
 

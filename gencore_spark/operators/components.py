@@ -101,7 +101,13 @@ def connected_components(
         cur = _small_star(_large_star(cur))
     cur = cur.localCheckpoint(eager=False)
     prev_fp = _fingerprint(cur)
-    for _ in range(cfg.cc_max_iterations):
+    # Cycles run 2-per-fingerprint: star cycles are idempotent at the
+    # fixpoint, so overshooting by one cycle costs a cheap scan of the
+    # previous checkpoint, while fingerprinting every cycle costs a driver
+    # round trip each — the fixed-latency term that caps scaling
+    # efficiency.  Net: same converged output, half the barrier jobs.
+    for _ in range(0, cfg.cc_max_iterations, 2):
+        cur = _small_star(_large_star(cur))
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:

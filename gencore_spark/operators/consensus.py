@@ -91,7 +91,9 @@ def consensus_vote(
         F.col("url").alias("o_url"),
         F.col("warc_ts").alias("o_ts"),
     ]
-    payload_cols = [c for c in ranked.columns if c not in ("cluster_id", "votes")]
+    # keep the winner's vote count in the payload: it feeds the A5
+    # ratio-threshold fallback below (vote_ratio / low_confidence)
+    payload_cols = [c for c in ranked.columns if c != "cluster_id"]
     canonical = (
         ranked.groupBy("cluster_id")
         .agg(
@@ -112,7 +114,15 @@ def consensus_vote(
         canonical.join(mirror_counts, ["cluster_id", "mirror_key"])
         .join(stats, "cluster_id")
         .withColumn("rr", (F.col("mirror_n") - F.lit(1)).cast("int"))
-        .drop("mirror_n", "mirror_key")
+        # A5 fallback (group.cpp:394-501, options.cpp:18-30): the winning
+        # text's share of the cluster; a weak majority is flagged, not
+        # silently emitted as if unanimous
+        .withColumn("vote_ratio", F.round(F.col("votes") / F.col("fr"), 6))
+        .withColumn(
+            "low_confidence",
+            F.col("vote_ratio") < F.lit(cfg.vote_ratio_threshold),
+        )
+        .drop("mirror_n", "mirror_key", "votes")
     )
     gate = min_cluster_size if min_cluster_size is not None else cfg.min_cluster_size
     if gate > 1:

@@ -110,9 +110,16 @@ def minhash_lsh_clusters(
     # signed is referenced ~6x downstream (bands, sig joins, text joins,
     # fan-out); persist so the signature UDF runs once per rep, not per ref
     signed = signed.persist()
-    edges, _ = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
+    edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
     verified = verify_pairs(edges, signed, cfg)
+    # connected_components eagerly materializes its input edge set — the
+    # fan-out action for everything cached above.  Release the caches here
+    # (cache lifetime = this call): the remaining lazy reference (fan-out)
+    # only reads (th1, th2, rep_id), which column-prunes the signature UDF
+    # away entirely (plan-tested), so the recompute is one cheap groupBy.
     cc = connected_components(verified.select("id_a", "id_b"), cfg)
+    signed.unpersist()
+    stats.unpersist()
     return _fan_out(mapping, signed, cc)
 
 
@@ -147,7 +154,7 @@ def simhash_clusters(
     exploded = sh.select(
         "rep_id", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
     )
-    cand, _ = bucketed_pairs(
+    cand, stats = bucketed_pairs(
         exploded, ["chunk_idx", "chunk_val"], cfg.bucket_size_cap
     )
     fps = sh.select("rep_id", "simhash")
@@ -157,7 +164,9 @@ def simhash_clusters(
         .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming)
         .select("id_a", "id_b")
     )
-    cc = connected_components(pairs, cfg)
+    cc = connected_components(pairs, cfg)  # eager: materializes the caches
+    sh.unpersist()
+    stats.unpersist()
     return _fan_out(mapping, sh, cc)
 
 
@@ -220,7 +229,7 @@ def ngram_jaccard_clusters(
         .select("th1", "th2", "rep_id", "norm_text", "minhash")
         .persist()  # referenced by bands, both verify sides, and fan-out
     )
-    edges, _ = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
+    edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
     a = signed.select(F.col("rep_id").alias("id_a"), F.col("norm_text").alias("ta"))
     b = signed.select(F.col("rep_id").alias("id_b"), F.col("norm_text").alias("tb"))
     verified = (
@@ -230,7 +239,9 @@ def ngram_jaccard_clusters(
         .filter(F.col("j") >= tau)
         .select("id_a", "id_b")
     )
-    cc = connected_components(verified, cfg)
+    cc = connected_components(verified, cfg)  # eager: materializes the caches
+    signed.unpersist()
+    stats.unpersist()
     return _fan_out(mapping, signed, cc)
 
 
@@ -261,7 +272,7 @@ def embedding_cosine_clusters(
         code(F.col(vec_col)).alias("codes"),
     ).persist()  # referenced by buckets and both cosine-verify sides
     exploded = v.select(F.col("vid").alias("rep_id"), F.explode("codes").alias("bucket"))
-    cand, _ = bucketed_pairs(exploded, ["bucket"], cfg.bucket_size_cap)
+    cand, stats = bucketed_pairs(exploded, ["bucket"], cfg.bucket_size_cap)
     va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
     vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
     pairs = (
@@ -271,7 +282,9 @@ def embedding_cosine_clusters(
         .filter(F.col("cos") >= tau)
         .select("id_a", "id_b")
     )
-    cc = connected_components(pairs, cfg)
+    cc = connected_components(pairs, cfg)  # eager: materializes the caches
+    v.unpersist()
+    stats.unpersist()
     return (
         vectors.select(F.col(id_col).alias("rep_id"))
         .join(cc, "rep_id", "left")

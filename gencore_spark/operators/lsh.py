@@ -76,27 +76,31 @@ def bucketed_pairs(
       members keep O(1) candidate edges each, all fully verified
       downstream, covering both homogeneous and heterogeneous
       mega-buckets);
-    * bucket_stats — one row per bucket: size + capped flag.
+    * bucket_stats — one row per bucket: size + capped flag.  The returned
+      df is **persisted** (it feeds both the pair join and the caller's
+      metrics); the CALLER owns the cache and must ``unpersist()`` it once
+      edges and stats are materialized — a long-lived session running many
+      dedup queries would otherwise accumulate executor storage.
 
     Shared by the MinHash band join, the SimHash pigeonhole join, and the
     embedding sign-LSH join — one skew policy, tested once.
     """
     from pyspark.sql import Window
 
-    # persist: sizes feeds the pair join AND the caller's bucket-stats
-    # metrics — sharing the cache avoids recomputing the explode+groupBy
-    sizes = exploded.groupBy(*bucket_cols).agg(
-        F.count(F.lit(1)).alias("bucket_size"),
-        F.min(id_col).alias("anchor_id"),
-    ).persist()
+    stats = (
+        exploded.groupBy(*bucket_cols)
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.min(id_col).alias("anchor_id"),
+        )
+        .withColumn("capped", F.col("bucket_size") > cap)
+        .persist()
+    )
     # singleton buckets generate no pairs — drop them before the join
     # (the dominant case: unique docs)
-    active = sizes.filter(F.col("bucket_size") >= 2)
+    active = stats.filter(F.col("bucket_size") >= 2)
 
-    tagged = exploded.join(
-        active.withColumn("capped", F.col("bucket_size") > cap),
-        bucket_cols,
-    )
+    tagged = exploded.join(active, bucket_cols)
 
     small = tagged.filter(~F.col("capped"))
     a = small.select(*bucket_cols, F.col(id_col).alias("id_a"))
@@ -110,15 +114,31 @@ def bucketed_pairs(
     # capped mega-buckets: anchor-star ∪ per-bucket random-order chain.
     # O(2n) edges; the chain order hash mixes the bucket key, so each
     # band re-randomizes adjacency (heterogeneous-bucket recovery).
+    #
+    # The chain is SALTED into ~cap-sized sub-groups: a window partitioned
+    # by the bucket key alone sorts the ENTIRE mega-bucket in one task —
+    # at 100× scale a 10^7-member boilerplate bucket becomes one O(n log n)
+    # straggler, the exact shape the cap exists to avoid.  Instead the
+    # order hash is bucketed into ceil(size/cap) sub-groups and each
+    # sub-group chains independently (one ~cap-row sort per task).
+    # Connectivity is unchanged: the star reaches every member through the
+    # anchor, and for heterogeneous buckets the expected number of
+    # same-group adjacencies in the salted chain equals the unsalted
+    # chain's (members land in sub-groups and positions uniformly), with
+    # both salt and order re-randomized per band.
     big = tagged.filter(F.col("capped"))
     pairs_star = big.filter(F.col(id_col) != F.col("anchor_id")).select(
         F.least("anchor_id", id_col).alias("id_a"),
         F.greatest("anchor_id", id_col).alias("id_b"),
     )
     order = F.xxhash64(F.lit(0x51A), *bucket_cols, id_col)
-    w = Window.partitionBy(*bucket_cols).orderBy(order)
+    n_sub = F.ceil(F.col("bucket_size") / F.lit(cap)).cast("long")
+    salt = F.pmod(F.xxhash64(F.lit(0x5A17), *bucket_cols, id_col), n_sub)
+    w = Window.partitionBy(*bucket_cols, "chain_salt").orderBy("chain_ord")
     pairs_chain = (
-        big.withColumn("prev", F.lag(id_col).over(w))
+        big.withColumn("chain_ord", order)
+        .withColumn("chain_salt", salt)
+        .withColumn("prev", F.lag(id_col).over(w))
         .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col(id_col)))
         .select(
             F.least("prev", id_col).alias("id_a"),
@@ -127,8 +147,7 @@ def bucketed_pairs(
     )
 
     edges = pairs_small.unionByName(pairs_star).unionByName(pairs_chain).distinct()
-    bucket_stats = sizes.withColumn("capped", F.col("bucket_size") > cap)
-    return edges, bucket_stats
+    return edges, stats
 
 
 def candidate_pairs(

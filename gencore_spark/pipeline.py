@@ -80,7 +80,9 @@ class DedupPipeline:
 
     # -- stages ------------------------------------------------------------
 
-    def _stage(self, name: str, build, force: bool) -> DataFrame:
+    def _stage(
+        self, name: str, build, force: bool, expect_cols: list[str] | None = None
+    ) -> DataFrame:
         if self.checkpoint == "memory":
             # materialize once in executor memory; no write/read-back and no
             # row-count job (each saved job is fixed latency at any scale).
@@ -93,8 +95,20 @@ class DedupPipeline:
             self.report.stage(name, resumed=False)
             return df
         if not force and self.io.exists(name):
+            out = self.io.read(name)
+            # Fail FAST on a stale workdir: a snapshot written by an older
+            # pipeline version resumes cleanly here but explodes mid-plan
+            # later with an opaque unresolved-column error.
+            missing = set(expect_cols or []) - set(out.columns)
+            if missing:
+                raise ValueError(
+                    f"stale workdir: snapshot '{name}' at {self.workdir} is "
+                    f"missing columns {sorted(missing)} (written by an older "
+                    f"pipeline version?). Wipe the workdir or re-run with "
+                    f"force=True."
+                )
             self.report.stage(name, resumed=True)
-            return self.io.read(name)
+            return out
         df = build()
         self.io.write(df, name)
         out = self.io.read(name)
@@ -111,7 +125,7 @@ class DedupPipeline:
             # html is dropped HERE and never read again
             return main.unionByName(bypass).select(*DOC_COLUMNS)
 
-        docs = self._stage("s1_docs", build_docs, force)
+        docs = self._stage("s1_docs", build_docs, force, expect_cols=DOC_COLUMNS)
 
         def build_reps() -> DataFrame:
             main = docs.filter(~F.col("bypass")).select(
@@ -122,11 +136,42 @@ class DedupPipeline:
                 "norm_text", "minhash", "simhash",
             )
 
-        reps = self._stage("s2_reps", build_reps, force)
+        reps = self._stage(
+            "s2_reps", build_reps, force,
+            expect_cols=["text_hash", "text_hash2", "rep_id", "n_members",
+                         "norm_text", "minhash", "simhash"],
+        )
+
+        bucket_stats_holder: list[DataFrame] = []
 
         def build_edges() -> DataFrame:
             signed = reps.select("rep_id", "norm_text", "simhash", "minhash")
             edges, bucket_stats = candidate_pairs(signed, cfg)
+            bucket_stats_holder.append(bucket_stats)
+            return verify_pairs(edges, signed, cfg)
+
+        verified = self._stage(
+            "s3_edges", build_edges, force,
+            expect_cols=["id_a", "id_b", "jaccard", "cont_a", "cont_b",
+                         "sim_hamming"],
+        )
+
+        def build_cc() -> DataFrame:
+            return connected_components(verified.select("id_a", "id_b"), cfg)
+
+        cc = self._stage(
+            "s4_cc", build_cc, force, expect_cols=["rep_id", "cluster_id"]
+        )
+
+        # Bucket-stat metrics AFTER s4: by now s3 has materialized (snapshot
+        # write, or CC's eager input checkpoint in memory mode), populating
+        # the persisted stats as a side effect — this agg is a tiny
+        # cached-scan job instead of a standalone explode+groupBy job
+        # sequenced before the stage action (one less barrier on the
+        # fixed-cost path).  Unpersist right after: the cache's lifetime is
+        # exactly this run.
+        if bucket_stats_holder:
+            bucket_stats = bucket_stats_holder[0]
             row = bucket_stats.agg(
                 F.sum(F.col("capped").cast("int")).alias("capped"),
                 F.max("bucket_size").alias("biggest"),
@@ -136,14 +181,7 @@ class DedupPipeline:
                 n_capped_buckets=int(row["capped"] or 0),
                 max_bucket_size=row["biggest"],
             )
-            return verify_pairs(edges, signed, cfg)
-
-        verified = self._stage("s3_edges", build_edges, force)
-
-        def build_cc() -> DataFrame:
-            return connected_components(verified.select("id_a", "id_b"), cfg)
-
-        cc = self._stage("s4_cc", build_cc, force)
+            bucket_stats.unpersist()
 
         def build_canonical() -> DataFrame:
             from .operators.verify import rep_containment
@@ -180,7 +218,11 @@ class DedupPipeline:
             members = main_members.unionByName(bypass_members)
             return consensus_vote(members, cfg)
 
-        canonical = self._stage("s5_canonical", build_canonical, force)
+        canonical = self._stage(
+            "s5_canonical", build_canonical, force,
+            expect_cols=["doc_id", "url", "warc_ts", "text", "lang", "cluster_id",
+                         "fr", "rr", "n_variants", "vote_ratio", "low_confidence"],
+        )
         self._finalize(docs, reps, verified, canonical)
         return canonical
 

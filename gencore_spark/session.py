@@ -10,6 +10,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+# The non-master settings the pipeline is benchmarked and verified under.
+# ONE source of truth: get_spark applies these locally, and the
+# spark-submit front door (tools/submit_job.py) applies any of them the
+# operator did not explicitly override via --conf — a cluster run must not
+# silently diverge from the verified configuration (zstd shuffle codec,
+# UTC session tz, AQE skew handling, Arrow batching, broadcast threshold).
+PIPELINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # zstd over default lz4: web text shuffles are the fat payload and
+    # compress ~2x better under zstd, trading cheap CPU for the memory/
+    # IO bandwidth that saturates first as cores scale (measured at
+    # 300k pages: local[2] 637->506s, local[8] 201->157s, 2->8 scaling
+    # efficiency 0.79->0.81)
+    "spark.io.compression.codec": "zstd",
+}
+
 
 def get_spark(
     app_name: str = "gencore-spark",
@@ -25,22 +46,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # zstd over default lz4: web text shuffles are the fat payload and
-        # compress ~2x better under zstd, trading cheap CPU for the memory/
-        # IO bandwidth that saturates first as cores scale (measured at
-        # 300k pages: local[2] 637->506s, local[8] 201->157s, 2->8 scaling
-        # efficiency 0.79->0.81)
-        .config("spark.io.compression.codec", "zstd")
     )
+    for k, v in PIPELINE_CONFS.items():
+        b = b.config(k, v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -74,6 +74,16 @@ def streaming_dup_counter(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Spark hands the UDF tz-NAIVE timestamps rendered in the session
+    # timezone; GroupState timeouts want true epoch ms.  Capture the
+    # session tz here (driver side) and localize before .timestamp() —
+    # under a non-UTC session (e.g. an operator's spark-submit without the
+    # PIPELINE_CONFS tz pin) a naive .timestamp() would shift every
+    # eviction by the tz offset.
+    session_tz = pages_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
+
     out_schema = (
         "text_hash long, first_url string, first_ts timestamp, "
         "n_seen long, final boolean"
@@ -104,9 +114,10 @@ def streaming_dup_counter(
                 first_url = pdf["url"].iloc[0]
                 first_ts = pdf["warc_ts"].iloc[0]
             n_seen += len(pdf)
-            last_ms = max(
-                last_ms, int(pdf["warc_ts"].max().timestamp() * 1000)
-            )
+            ts_max = pdf["warc_ts"].max()
+            if ts_max.tzinfo is None:
+                ts_max = ts_max.tz_localize(session_tz)
+            last_ms = max(last_ms, int(ts_max.timestamp() * 1000))
         state.update((first_url, first_ts, n_seen, last_ms))
         state.setTimeoutTimestamp(last_ms + evict_gap_ms)
         yield pd.DataFrame(

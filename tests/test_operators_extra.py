@@ -355,3 +355,137 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(df, every_n=30)
     assert out.count() >= 10  # at least frame 0 per doc
     assert out.filter(F.col("frame_index") % 30 != 0).count() == 0
+
+
+def test_mega_bucket_chain_is_salted_and_bounded(spark):
+    """A single 50k-member bucket (cap 64) must NOT sort in one window
+    task: the chain is salted into ~cap-sized sub-groups (one small sort
+    each), evidenced by (a) the chain window partitioning on chain_salt in
+    the plan and (b) the chain contributing ~n - ceil(n/cap) edges (one
+    unsalted chain would contribute n-1)."""
+    from pyspark.sql import functions as F
+
+    from gencore_spark.operators.lsh import bucketed_pairs
+    from gencore_spark.plans.inspect import explain_str
+
+    n, cap = 50_000, 64
+    exploded = spark.range(n).select(
+        F.lit(0).alias("b"), F.col("id").alias("rep_id")
+    )
+    edges, stats = bucketed_pairs(exploded, ["b"], cap)
+    plan = explain_str(edges)
+    assert "chain_salt" in plan, "chain window no longer salted"
+    total = edges.count()
+    srow = stats.collect()[0]
+    stats.unpersist()
+    assert srow["bucket_size"] == n and bool(srow["capped"])
+    # star = n-1 edges; salted chain = n - (#non-empty sub-groups);
+    # overlap between the two sets is at most a few edges
+    n_sub = -(-n // cap)  # 782
+    non_anchor = edges.filter((F.col("id_a") != 0) & (F.col("id_b") != 0)).count()
+    assert n - n_sub - 5 <= non_anchor <= n - n_sub + 5, (
+        f"chain edge count {non_anchor} suggests "
+        f"{'one unsalted chain' if non_anchor > n - 100 else 'broken chains'}"
+    )
+    assert n - 1 <= total <= 2 * n
+
+
+def test_variants_release_caches(spark):
+    """Explicit persists inside the dedup variants are released before the
+    variant returns (VERDICT r2 'unpersist discipline'): repeated calls in
+    one session must not accumulate cached RDD blocks."""
+    import gc
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gencore_spark.operators.dedup_variants import (
+        exact_dedup,
+        minhash_lsh_clusters,
+        simhash_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i % 7} with shared words " * 3)
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def n_cached() -> int:
+        gc.collect()  # drop py refs so the ContextCleaner can reap
+        for _ in range(20):
+            cnt = spark.sparkContext._jsc.getPersistentRDDs().size()
+            if cnt == 0:
+                return 0
+            time.sleep(0.25)
+        return cnt
+
+    for fn in (minhash_lsh_clusters, simhash_clusters):
+        fn(docs).count()
+    base = n_cached()
+    for _ in range(2):
+        for fn in (minhash_lsh_clusters, simhash_clusters):
+            fn(docs).count()
+    after = n_cached()
+    # localCheckpoint blocks are GC/ContextCleaner-managed; the explicit
+    # persists (2/variant/run = 8 across the loop) must not pile up
+    assert after <= base + 1, f"cached RDDs grew {base} -> {after}"
+
+
+def test_variant_fanout_prunes_signature_udf(spark):
+    """After unpersist, the lazy fan-out's re-read of the rep frame must
+    column-prune the signature UDF away (it only needs th1/th2/rep_id) —
+    otherwise every downstream action re-runs MinHash over all reps."""
+    from pyspark.sql import functions as F
+
+    from gencore_spark.operators.dedup_variants import minhash_lsh_clusters
+    from gencore_spark.plans.inspect import arrow_eval_count
+
+    docs = spark.createDataFrame(
+        [(i, f"some page text body variant {i % 5} padding words here")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_clusters(docs)
+    # cc is already materialized inside; the remaining plan is mapping +
+    # slim rep projection + checkpointed cc — no Python eval nodes
+    assert arrow_eval_count(out) == 0
+
+
+def test_ivf_build_probe_split(spark, tmp_path):
+    """The scale contract for IVF: build once (KMeans fit + cell assign),
+    probe many — a storage-backed probe plan is a pruned scan of the
+    cell-partitioned parquet with NO quantizer anywhere, and results are
+    identical to the convenience wrapper at the same seed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gencore_spark.operators.ann import (
+        ivf_build,
+        ivf_cosine_topk,
+        ivf_load,
+        ivf_probe,
+    )
+    from gencore_spark.plans.inspect import explain_str
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = df.filter(F.col("vec_id") >= 10)
+    queries = df.filter(F.col("vec_id") < 10)
+
+    path = str(tmp_path / "ivf")
+    ivf_build(corpus, n_cells=8, storage_path=path)
+    index = ivf_load(spark, path)
+    probed = ivf_probe(index, queries, k=5, n_probe=3)
+    plan = explain_str(probed)
+    assert "KMeans" not in plan and "kmeans" not in plan
+    assert "PartitionFilters" in plan or "cells" in plan  # pruned parquet scan
+
+    wrapper = ivf_cosine_topk(corpus, queries, k=5, n_cells=8, n_probe=3)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, wrapper.collect())
+    )

@@ -189,3 +189,46 @@ def test_consensus_tiebreak_documented(spark):
     assert by_cluster[1]["url"] == "https://a/1"
     assert by_cluster[1]["fr"] == 3 and by_cluster[1]["n_variants"] == 2
     assert by_cluster[2]["text"] == "short"
+
+
+def test_vote_ratio_flags_weak_majority(spark):
+    """A5 ratio-threshold fallback: winner share < 0.8 -> low_confidence."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        # cluster 1: 4/5 majority -> ratio 0.8, NOT flagged (strict <)
+        *[Row(doc_id=i, url=f"https://a/{i}", warc_ts=ts, text="xxxx",
+              lang="en", text_hash=100, cluster_id=1) for i in range(4)],
+        Row(doc_id=9, url="https://a/9", warc_ts=ts, text="yyyy",
+            lang="en", text_hash=200, cluster_id=1),
+        # cluster 2: 2/4 split -> ratio 0.5, flagged
+        *[Row(doc_id=10 + i, url=f"https://b/{i}", warc_ts=ts, text="pppp",
+              lang="en", text_hash=300, cluster_id=2) for i in range(2)],
+        *[Row(doc_id=20 + i, url=f"https://c/{i}", warc_ts=ts,
+              text="qqqq-longer", lang="en", text_hash=400, cluster_id=2)
+          for i in range(2)],
+    ]
+    out = consensus_vote(spark.createDataFrame(rows), DedupConfig())
+    by = {r["cluster_id"]: r for r in out.collect()}
+    assert by[1]["vote_ratio"] == 0.8 and not by[1]["low_confidence"]
+    assert by[2]["vote_ratio"] == 0.5 and by[2]["low_confidence"]
+    # ratio ties in cluster 2 resolve by the documented ladder: shorter text
+    assert by[2]["text"] == "pppp"
+
+
+def test_stale_workdir_fails_fast(spark, tmp_path):
+    """Resuming from a snapshot missing expected columns must raise a clear
+    'stale workdir' error, not an unresolved-column AnalysisException later."""
+    full, _ = pages_with_truth(spark, 200)
+    workdir = str(tmp_path / "w")
+    dedup_pages(spark, full.select(*PAGES_COLUMNS), workdir)
+    # simulate a workdir written by an older pipeline version
+    docs = spark.read.parquet(f"{workdir}/s1_docs").drop("text_hash2")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "s1_old"))
+    import shutil
+
+    shutil.rmtree(f"{workdir}/s1_docs")
+    shutil.move(str(tmp_path / "s1_old"), f"{workdir}/s1_docs")
+    with pytest.raises(ValueError, match="stale workdir"):
+        dedup_pages(spark, full.select(*PAGES_COLUMNS), workdir)

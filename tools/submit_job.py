@@ -13,11 +13,12 @@ Usage (local smoke, what ``tests/test_submit.py`` runs):
     spark-submit --master local[4] --py-files dist/gencore_spark.zip \
         tools/submit_job.py --input /tmp/pages --workdir /tmp/work
 
-The package import happens AFTER SparkSession construction: ``--py-files``
-archives are placed on the driver's ``sys.path`` by context init, so a
-top-level ``import gencore_spark`` would fail under spark-submit even
-though the zip is shipped.  Nothing here assumes the repo checkout exists
-on the cluster — the zip is the unit of deployment.
+Package imports happen inside ``main`` (client-mode spark-submit exports
+--py-files zips on the driver's PYTHONPATH, and context init finalizes
+``sys.path`` for anything that wasn't); the session import is guarded so
+archive-only deployments still run with spark-submit-supplied confs.
+Nothing here assumes the repo checkout exists on the cluster — the zip is
+the unit of deployment.
 """
 
 from __future__ import annotations
@@ -68,13 +69,30 @@ def main(argv: list[str] | None = None) -> None:
     if not args.input or not args.workdir:
         p.error("--input and --workdir are required (or use --build-zip)")
 
-    # Session first (spark-submit supplies master/memory/… via conf) …
+    # Session carries the settings the pipeline was benchmarked/verified
+    # under (gencore_spark.session.PIPELINE_CONFS: UTC tz, zstd shuffle
+    # codec, AQE skew-join, Arrow, 64MB broadcast threshold) — while
+    # master/memory/parallelism stay external (spark-submit --conf), and
+    # any conf the operator DID pass via --conf wins over our default.
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("gencore-spark-dedup").getOrCreate()
+    try:
+        # client-mode spark-submit puts --py-files zips on the driver's
+        # PYTHONPATH before the process starts, so this import works
+        from gencore_spark.session import PIPELINE_CONFS
+    except ImportError:  # pragma: no cover — archive-only deployments
+        PIPELINE_CONFS = {}
+
+    submitted = SparkConf()  # already holds every spark-submit --conf
+    b = SparkSession.builder.appName("gencore-spark-dedup")
+    for k, v in PIPELINE_CONFS.items():
+        if not submitted.contains(k):
+            b = b.config(k, v)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    # … then the shipped package import (now on sys.path via --py-files).
+    # package import again for the pipeline itself (sys.path is final now)
     from gencore_spark import DedupPipeline
     from gencore_spark.config import DEFAULT_CONFIG
 
