@@ -412,13 +412,20 @@ def test_variants_release_caches(spark):
     )
 
     def n_cached() -> int:
-        gc.collect()  # drop py refs so the ContextCleaner can reap
-        for _ in range(20):
+        # localCheckpoint RDDs are reaped by the ContextCleaner only after
+        # the JVM GCs the RDD handles — force both GCs, then wait for the
+        # count to stabilize (other session-scoped tests legitimately hold
+        # .cache()d fixtures, so the floor is not 0)
+        gc.collect()
+        prev = None
+        for _ in range(30):
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
             cnt = spark.sparkContext._jsc.getPersistentRDDs().size()
-            if cnt == 0:
-                return 0
-            time.sleep(0.25)
-        return cnt
+            if cnt == prev:
+                return cnt
+            prev = cnt
+        return prev
 
     for fn in (minhash_lsh_clusters, simhash_clusters):
         fn(docs).count()
@@ -427,9 +434,9 @@ def test_variants_release_caches(spark):
         for fn in (minhash_lsh_clusters, simhash_clusters):
             fn(docs).count()
     after = n_cached()
-    # localCheckpoint blocks are GC/ContextCleaner-managed; the explicit
-    # persists (2/variant/run = 8 across the loop) must not pile up
-    assert after <= base + 1, f"cached RDDs grew {base} -> {after}"
+    # the explicit persists (2 per variant call = 8 across the loop) must
+    # not pile up; slack of 2 covers one in-flight ContextCleaner batch
+    assert after <= base + 2, f"cached RDDs grew {base} -> {after}"
 
 
 def test_variant_fanout_prunes_signature_udf(spark):

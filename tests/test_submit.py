@@ -60,3 +60,8 @@ def test_spark_submit_py_files(spark, tmp_path):
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert 0 < out["canonical_docs"] <= 300
+    # the submit front door must carry the benchmarked session settings
+    # (PIPELINE_CONFS) — a cluster run may not silently diverge from the
+    # verified local configuration (ADVICE r2)
+    assert out["codec"] == "zstd"
+    assert out["session_tz"] == "UTC"

@@ -110,7 +110,14 @@ def main(argv: list[str] | None = None) -> None:
         n = spark.read.parquet(args.output).count()
     else:
         n = canonical.count()
-    print(json.dumps({"canonical_docs": n, "workdir": args.workdir}))
+    print(json.dumps({
+        "canonical_docs": n,
+        "workdir": args.workdir,
+        # surfaced so deployments (and the smoke test) can verify the run
+        # used the benchmarked configuration, not silent builder defaults
+        "codec": spark.conf.get("spark.io.compression.codec", "?"),
+        "session_tz": spark.conf.get("spark.sql.session.timeZone", "?"),
+    }))
     spark.stop()
 
 
