@@ -470,7 +470,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "minhash"
             ),
         )
-        edges, _ = candidate_pairs(signed, DEFAULT_CONFIG)
+        edges, stats = candidate_pairs(signed, DEFAULT_CONFIG)
+        # bucketed_pairs persists stats under a caller-must-unpersist
+        # contract; materialize edges first (localCheckpoint — its plan
+        # reads the cached stats), then release, so repeated bench/oracle
+        # invocations in a long-lived session don't accumulate executor
+        # storage.  Checkpoint blocks are ContextCleaner-managed (freed on
+        # GC), unlike persists, which live until explicit unpersist.
+        edges = edges.localCheckpoint(eager=True)
+        stats.unpersist()
         return edges
 
     q["lsh_candidate_pairs"] = lsh_candidate_pairs

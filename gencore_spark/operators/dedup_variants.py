@@ -39,7 +39,7 @@ from ..functions.udfs import minhash_udf, simhash_udf
 from .exact import _H2_SEED, normalize_expr
 from .components import connected_components
 from .lsh import bucketed_pairs, candidate_pairs
-from .verify import verify_pairs
+from .verify import attach_pair_payload, verify_pairs
 
 def _text_key(df: DataFrame) -> DataFrame:
     return df.withColumn("th1", F.xxhash64("text")).withColumn(
@@ -110,16 +110,21 @@ def minhash_lsh_clusters(
     # signed is referenced ~6x downstream (bands, sig joins, text joins,
     # fan-out); persist so the signature UDF runs once per rep, not per ref
     signed = signed.persist()
-    edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
-    verified = verify_pairs(edges, signed, cfg)
-    # connected_components eagerly materializes its input edge set — the
-    # fan-out action for everything cached above.  Release the caches here
-    # (cache lifetime = this call): the remaining lazy reference (fan-out)
-    # only reads (th1, th2, rep_id), which column-prunes the signature UDF
-    # away entirely (plan-tested), so the recompute is one cheap groupBy.
-    cc = connected_components(verified.select("id_a", "id_b"), cfg)
-    signed.unpersist()
-    stats.unpersist()
+    caches: list[DataFrame] = [signed]
+    try:
+        edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
+        caches.append(stats)
+        verified = verify_pairs(edges, signed, cfg)
+        # connected_components eagerly materializes its input edge set — the
+        # fan-out action for everything cached above.  Release the caches in
+        # the finally (cache lifetime = this call, success or failure): the
+        # remaining lazy reference (fan-out) only reads (th1, th2, rep_id),
+        # which column-prunes the signature UDF away entirely (plan-tested),
+        # so the recompute is one cheap groupBy.
+        cc = connected_components(verified.select("id_a", "id_b"), cfg)
+    finally:
+        for c in caches:
+            c.unpersist()
     return _fan_out(mapping, signed, cc)
 
 
@@ -154,19 +159,23 @@ def simhash_clusters(
     exploded = sh.select(
         "rep_id", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
     )
-    cand, stats = bucketed_pairs(
-        exploded, ["chunk_idx", "chunk_val"], cfg.bucket_size_cap
-    )
-    fps = sh.select("rep_id", "simhash")
-    pairs = (
-        cand.join(fps.select(F.col("rep_id").alias("id_a"), F.col("simhash").alias("sim_a")), "id_a")
-        .join(fps.select(F.col("rep_id").alias("id_b"), F.col("simhash").alias("sim_b")), "id_b")
-        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming)
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(pairs, cfg)  # eager: materializes the caches
-    sh.unpersist()
-    stats.unpersist()
+    caches: list[DataFrame] = [sh]
+    try:
+        cand, stats = bucketed_pairs(
+            exploded, ["chunk_idx", "chunk_val"], cfg.bucket_size_cap
+        )
+        caches.append(stats)
+        fps = sh.select("rep_id", "simhash")
+        pairs = (
+            cand.join(fps.select(F.col("rep_id").alias("id_a"), F.col("simhash").alias("sim_a")), "id_a")
+            .join(fps.select(F.col("rep_id").alias("id_b"), F.col("simhash").alias("sim_b")), "id_b")
+            .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming)
+            .select("id_a", "id_b")
+        )
+        cc = connected_components(pairs, cfg)  # eager: materializes the caches
+    finally:
+        for c in caches:
+            c.unpersist()
     return _fan_out(mapping, sh, cc)
 
 
@@ -229,19 +238,23 @@ def ngram_jaccard_clusters(
         .select("th1", "th2", "rep_id", "norm_text", "minhash")
         .persist()  # referenced by bands, both verify sides, and fan-out
     )
-    edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
-    a = signed.select(F.col("rep_id").alias("id_a"), F.col("norm_text").alias("ta"))
-    b = signed.select(F.col("rep_id").alias("id_b"), F.col("norm_text").alias("tb"))
-    verified = (
-        edges.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("j", _token_ngram_jaccard_udf(n)(F.col("ta"), F.col("tb")))
-        .filter(F.col("j") >= tau)
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(verified, cfg)  # eager: materializes the caches
-    signed.unpersist()
-    stats.unpersist()
+    caches: list[DataFrame] = [signed]
+    try:
+        edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
+        caches.append(stats)
+        # texts attach via the shared explode+fold (attach_pair_payload):
+        # an anchor text in a capped mega-bucket moves twice total, not
+        # once per candidate edge — same shape as verify_pairs
+        paired = attach_pair_payload(edges, signed, "norm_text", "ta", "tb")
+        verified = (
+            paired.withColumn("j", _token_ngram_jaccard_udf(n)(F.col("ta"), F.col("tb")))
+            .filter(F.col("j") >= tau)
+            .select("id_a", "id_b")
+        )
+        cc = connected_components(verified, cfg)  # eager: materializes the caches
+    finally:
+        for c in caches:
+            c.unpersist()
     return _fan_out(mapping, signed, cc)
 
 
@@ -272,19 +285,24 @@ def embedding_cosine_clusters(
         code(F.col(vec_col)).alias("codes"),
     ).persist()  # referenced by buckets and both cosine-verify sides
     exploded = v.select(F.col("vid").alias("rep_id"), F.explode("codes").alias("bucket"))
-    cand, stats = bucketed_pairs(exploded, ["bucket"], cfg.bucket_size_cap)
-    va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
-    vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
-    pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos", _cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= tau)
-        .select("id_a", "id_b")
-    )
-    cc = connected_components(pairs, cfg)  # eager: materializes the caches
-    v.unpersist()
-    stats.unpersist()
+    caches: list[DataFrame] = [v]
+    try:
+        cand, stats = bucketed_pairs(exploded, ["bucket"], cfg.bucket_size_cap)
+        caches.append(stats)
+        # same explode+fold shape as the text variants: a hub vector in a
+        # capped bucket moves twice, not once per candidate edge
+        paired = attach_pair_payload(
+            cand, v.select(F.col("vid").alias("rep_id"), "vec"), "vec", "va", "vb"
+        )
+        pairs = (
+            paired.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= tau)
+            .select("id_a", "id_b")
+        )
+        cc = connected_components(pairs, cfg)  # eager: materializes the caches
+    finally:
+        for c in caches:
+            c.unpersist()
     return (
         vectors.select(F.col(id_col).alias("rep_id"))
         .join(cc, "rep_id", "left")

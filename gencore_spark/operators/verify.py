@@ -103,6 +103,62 @@ def _verify_udf(cfg: DedupConfig):
     return _verify.asNondeterministic()
 
 
+def attach_pair_payload(
+    pairs: DataFrame,
+    payload: DataFrame,
+    value_col: str,
+    out_a: str,
+    out_b: str,
+    id_col: str = "rep_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Attach a per-item payload column to BOTH sides of candidate pairs
+    with each payload value moving at most twice — THE shuffle-byte shape
+    for fat payloads (texts, vectors) at the 100 TB design point.
+
+    The naive ``pairs.join(pa, "id_a").join(pb, "id_b")`` duplicates an
+    anchor's payload across every one of its (possibly thousands of)
+    capped-bucket edges in the first join's shuffle, then ships the pair
+    row again in the second.  Instead: explode each pair into its two
+    (pair, side, item) rows, attach the payload with ONE join on the item
+    id, and fold back to one row per pair with a hash-partitioned
+    aggregation.  The explicit ``repartition(3x cores, id_a, id_b)`` both
+    feeds the groupBy (hash partitioning satisfies its required
+    distribution — no extra exchange) and gives downstream CPU-bound UDFs
+    fine enough partitions to balance payload-length skew (measured: with
+    exactly `cores` partitions the verify stage scaled at 0.63 efficiency
+    2->8 cores; AQE's byte-based coalescing would make it worse).
+
+    ``pairs`` must have (id_a, id_b, *extra_cols); ``payload`` must have
+    (id_col, value_col).  Output: (id_a, id_b, *extra_cols, out_a, out_b).
+    """
+    par = pairs.sparkSession.sparkContext.defaultParallelism * 3
+    sides = pairs.select(
+        "id_a",
+        "id_b",
+        *extra_cols,
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("rid")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("rid")),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", *extra_cols, "s.side", "s.rid")
+    vals = payload.select(F.col(id_col).alias("rid"), F.col(value_col).alias("v"))
+    # exactly one non-null per (pair, side), so first(ignorenulls) is
+    # deterministic — and works for any payload type (string, array, ...)
+    return (
+        sides.join(vals, "rid")
+        .repartition(par, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("v")), ignorenulls=True).alias(out_a),
+            F.first(F.when(F.col("side") == "b", F.col("v")), ignorenulls=True).alias(out_b),
+            *[F.first(c).alias(c) for c in extra_cols],
+        )
+    )
+
+
 def verify_pairs(
     edges: DataFrame, signed: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
@@ -152,42 +208,12 @@ def verify_pairs(
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     ).filter(F.col("sim_hamming") <= cfg.simhash_max_hamming)
 
-    # now (and only now) fetch texts for the survivors.  Shuffle-byte
-    # discipline (texts are the fat payload; this host — like any 1000-node
-    # cluster — is bandwidth-bound on them): the naive
-    # ``join(ta, id_a).join(tb, id_b).repartition(n)`` moves each pair's
-    # text_a three times and text_b twice.  Instead explode each pair into
-    # its two (pair, side, rep) rows, attach the text with ONE join on
-    # rep_id, and fold back to one row per pair with a hash-partitioned
-    # aggregation — each text moves twice total, and the explicit
-    # ``repartition(3x cores, id_a, id_b)`` both feeds the groupBy (hash
-    # partitioning satisfies its required distribution — no extra
-    # exchange) and gives the CPU-bound UDF below fine enough partitions
-    # to balance text-length skew (measured: with exactly `cores`
-    # partitions the verify stage scaled at 0.63 efficiency 2->8 cores;
-    # AQE's byte-based coalescing would make it worse, not better).
-    par = edges.sparkSession.sparkContext.defaultParallelism * 3
-    sides = survivors.select(
-        "id_a",
-        "id_b",
-        "sim_hamming",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("rid")),
-                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("rid")),
-            )
-        ).alias("s"),
-    ).select("id_a", "id_b", "sim_hamming", "s.side", "s.rid")
-    texts = signed.select(F.col("rep_id").alias("rid"), "norm_text")
-    gated = (
-        sides.join(texts, "rid")
-        .repartition(par, "id_a", "id_b")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.max(F.when(F.col("side") == "a", F.col("norm_text"))).alias("text_a"),
-            F.max(F.when(F.col("side") == "b", F.col("norm_text"))).alias("text_b"),
-            F.first("sim_hamming").alias("sim_hamming"),
-        )
+    # now (and only now) fetch texts for the survivors, via the shared
+    # explode+fold shape (see attach_pair_payload): each text moves at most
+    # twice, never once per candidate edge.
+    gated = attach_pair_payload(
+        survivors, signed, "norm_text", "text_a", "text_b",
+        extra_cols=("sim_hamming",),
     )
 
     # gates 2+3 — one vectorized UDF pass

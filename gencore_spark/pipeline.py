@@ -150,38 +150,43 @@ class DedupPipeline:
             bucket_stats_holder.append(bucket_stats)
             return verify_pairs(edges, signed, cfg)
 
-        verified = self._stage(
-            "s3_edges", build_edges, force,
-            expect_cols=["id_a", "id_b", "jaccard", "cont_a", "cont_b",
-                         "sim_hamming"],
-        )
-
-        def build_cc() -> DataFrame:
-            return connected_components(verified.select("id_a", "id_b"), cfg)
-
-        cc = self._stage(
-            "s4_cc", build_cc, force, expect_cols=["rep_id", "cluster_id"]
-        )
-
-        # Bucket-stat metrics AFTER s4: by now s3 has materialized (snapshot
-        # write, or CC's eager input checkpoint in memory mode), populating
-        # the persisted stats as a side effect — this agg is a tiny
-        # cached-scan job instead of a standalone explode+groupBy job
-        # sequenced before the stage action (one less barrier on the
-        # fixed-cost path).  Unpersist right after: the cache's lifetime is
-        # exactly this run.
-        if bucket_stats_holder:
-            bucket_stats = bucket_stats_holder[0]
-            row = bucket_stats.agg(
-                F.sum(F.col("capped").cast("int")).alias("capped"),
-                F.max("bucket_size").alias("biggest"),
-            ).collect()[0]
-            self.report.stage(
-                "s3_buckets",
-                n_capped_buckets=int(row["capped"] or 0),
-                max_bucket_size=row["biggest"],
+        # try/finally owns the bucket-stats cache lifetime: a failure
+        # between candidate_pairs and the post-s4 agg (e.g. a failed CC
+        # job) must not leak the persist for the session lifetime.
+        try:
+            verified = self._stage(
+                "s3_edges", build_edges, force,
+                expect_cols=["id_a", "id_b", "jaccard", "cont_a", "cont_b",
+                             "sim_hamming"],
             )
-            bucket_stats.unpersist()
+
+            def build_cc() -> DataFrame:
+                return connected_components(verified.select("id_a", "id_b"), cfg)
+
+            cc = self._stage(
+                "s4_cc", build_cc, force, expect_cols=["rep_id", "cluster_id"]
+            )
+
+            # Bucket-stat metrics AFTER s4: by now s3 has materialized
+            # (snapshot write, or CC's eager input checkpoint in memory
+            # mode), populating the persisted stats as a side effect — this
+            # agg is a tiny cached-scan job instead of a standalone
+            # explode+groupBy job sequenced before the stage action (one
+            # less barrier on the fixed-cost path).
+            if bucket_stats_holder:
+                row = bucket_stats_holder[0].agg(
+                    F.sum(F.col("capped").cast("int")).alias("capped"),
+                    F.max("bucket_size").alias("biggest"),
+                ).collect()[0]
+                self.report.stage(
+                    "s3_buckets",
+                    n_capped_buckets=int(row["capped"] or 0),
+                    max_bucket_size=row["biggest"],
+                )
+        finally:
+            # cache lifetime is exactly this run, success or not
+            for bs in bucket_stats_holder:
+                bs.unpersist()
 
         def build_canonical() -> DataFrame:
             from .operators.verify import rep_containment

@@ -59,6 +59,24 @@ def con():
     return c
 
 
+def test_documents_texts_are_pairwise_distinct(con):
+    """Fourth load-bearing oracle assumption: the e2e oracle groups
+    votes/n_variants by synthetic rid while the engine groups by text_hash,
+    so equivalence requires every document text to be pairwise DISTINCT and
+    no text to equal another text + ' qq' (the synthetic near-dup suffix).
+    A testdata regeneration with duplicate texts would otherwise fail as
+    exactly the opaque hash mismatch this module exists to prevent."""
+    n, nd = con.execute(
+        "SELECT count(*), count(DISTINCT text) FROM documents"
+    ).fetchone()
+    assert n == nd, f"documents has {n - nd} duplicate texts; rid != text_hash grouping"
+    coll = con.execute(
+        "SELECT count(*) FROM documents a JOIN documents b"
+        " ON a.text = b.text || ' qq'"
+    ).fetchone()[0]
+    assert coll == 0, f"{coll} texts collide with another text + ' qq'"
+
+
 def test_jaccard_margin_is_clean(con):
     js = [r[5] for r in con.execute(_PAIRS_SQL).fetchall()]
     assert js, "corpus lost its planted/natural near-dup pairs entirely"

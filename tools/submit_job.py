@@ -72,8 +72,17 @@ def main(argv: list[str] | None = None) -> None:
     # Session carries the settings the pipeline was benchmarked/verified
     # under (gencore_spark.session.PIPELINE_CONFS: UTC tz, zstd shuffle
     # codec, AQE skew-join, Arrow, 64MB broadcast threshold) — while
-    # master/memory/parallelism stay external (spark-submit --conf), and
-    # any conf the operator DID pass via --conf wins over our default.
+    # master/memory/parallelism stay external (spark-submit --conf).
+    #
+    # Precedence (documented, not silent): ANY conf already present in
+    # SparkConf() wins over PIPELINE_CONFS — that covers both explicit
+    # spark-submit --conf flags AND the cluster's spark-defaults.conf
+    # (SparkConf cannot distinguish the two sources; Spark merges them
+    # before this process starts).  So a cluster-wide default like
+    # spark.io.compression.codec=lz4 DOES override the verified zstd.
+    # To make such divergence visible instead of silent, the output JSON
+    # below surfaces the EFFECTIVE value of every PIPELINE_CONFS key —
+    # deployments diff it against the verified set.
     from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
@@ -115,8 +124,13 @@ def main(argv: list[str] | None = None) -> None:
         "workdir": args.workdir,
         # surfaced so deployments (and the smoke test) can verify the run
         # used the benchmarked configuration, not silent builder defaults
+        # or cluster-wide spark-defaults.conf overrides (see precedence
+        # note above) — every verified conf key with its effective value
         "codec": spark.conf.get("spark.io.compression.codec", "?"),
         "session_tz": spark.conf.get("spark.sql.session.timeZone", "?"),
+        "pipeline_confs": {
+            k: spark.conf.get(k, "?") for k in sorted(PIPELINE_CONFS)
+        },
     }))
     spark.stop()
 
