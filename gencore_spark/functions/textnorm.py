@@ -22,7 +22,25 @@ from __future__ import annotations
 
 import re
 
+# script/style elements carry no page text — their BODIES must go, not just
+# their tags (a bare tag-strip would leak javascript/css into the corpus).
+# Case-insensitive, dot-matches-newline, lazy up to the matching close tag.
+_SCRIPT_STYLE_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
 _TAG_RE = re.compile(rb"<[^>]*>")
+# the five XML predefined entities, decoded AFTER tag removal so markup
+# escaped as text (&lt;b&gt;) never becomes a tag.  &amp; is decoded LAST:
+# double-escaped input (&amp;lt;) correctly yields the literal text "&lt;"
+# (one level of decoding, per spec), because "&lt;" never substring-matches
+# inside "&amp;lt;".
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
 # pinned to Java's non-unicode \s — [ \t\n\x0B\f\r] — so this Python mirror
 # and the pipeline's JVM expression (operators.exact.normalize_expr) produce
 # byte-identical output
@@ -30,16 +48,23 @@ _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def extract_text(html: bytes) -> str:
-    """Strip markup tags from ``html`` bytes; decode utf-8.
+    """Strip script/style bodies + markup tags from ``html`` bytes, decode
+    utf-8, then decode the five XML predefined entities.
 
-    Deterministic and locale-free: a pure byte-regex tag strip, no entity
-    decoding, no whitespace rewriting — so the byte-identical invariant is
-    checkable by equality.  (A production system would plug trafilatura-style
-    extraction here; the contract — bytes in, exact text out — is the same.)
+    Deterministic and locale-free: pure byte-regexes + fixed string
+    replacements, no numeric character references, no whitespace rewriting —
+    so the byte-identical invariant is checkable by equality.  (A production
+    system would plug trafilatura-style extraction here; the contract —
+    bytes in, exact text out — is the same.)
     """
     if html is None:
         return ""
-    return _TAG_RE.sub(b"", html).decode("utf-8", errors="replace")
+    stripped = _TAG_RE.sub(b"", _SCRIPT_STYLE_RE.sub(b"", html))
+    text = stripped.decode("utf-8", errors="replace")
+    for entity, ch in _ENTITIES:
+        if entity in text:
+            text = text.replace(entity, ch)
+    return text
 
 
 def normalize_for_shingling(text: str) -> str:

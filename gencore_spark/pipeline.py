@@ -61,6 +61,25 @@ DOC_COLUMNS = [
 ]
 
 
+def _ensure_text(pages: DataFrame) -> DataFrame:
+    """html-only ingest path: rows arriving without ``text`` get it extracted
+    from ``html`` (the input_hint's byte-identical extractor, as a pandas
+    UDF).  Split-then-union rather than ``coalesce(text, udf(html))``: an
+    ArrowEvalPython node computes its UDF for EVERY row in the batch before
+    the conditional picks, so the naive coalesce would ship every page's
+    html through Python even when text is already present — on a crawl
+    where most rows carry text that is most of the input bytes."""
+    from .functions.udfs import extract_text_udf
+
+    if "text" not in pages.columns:
+        return pages.withColumn("text", extract_text_udf()(F.col("html")))
+    has_text = pages.filter(F.col("text").isNotNull())
+    needs = pages.filter(F.col("text").isNull()).withColumn(
+        "text", extract_text_udf()(F.col("html"))
+    )
+    return has_text.unionByName(needs)
+
+
 class DedupPipeline:
     def __init__(
         self,
@@ -119,7 +138,7 @@ class DedupPipeline:
         cfg = self.cfg
 
         def build_docs() -> DataFrame:
-            main, bypass = route(with_doc_ids(pages), cfg)
+            main, bypass = route(with_doc_ids(_ensure_text(pages)), cfg)
             main = with_text_hash(main).withColumn("bypass", F.lit(False))
             bypass = with_text_hash(bypass).withColumn("bypass", F.lit(True))
             # html is dropped HERE and never read again

@@ -179,10 +179,29 @@ def test_extract_text_byte_identical():
     text = "Hi there & x — ünïcode too"
     html = f"<html><body>{text}</body></html>".encode()
     assert extract_text(html) == text
-    assert extract_text(b"<html><body>Hi <b>there</b> &amp; x</body></html>") == (
-        "Hi there &amp; x"
-    )
     assert extract_text(None) == ""
+
+
+def test_extract_text_entities_and_script_style():
+    # the five XML predefined entities decode AFTER tag removal
+    assert extract_text(b"<html><body>Hi <b>there</b> &amp; x</body></html>") == (
+        "Hi there & x"
+    )
+    assert extract_text(b"a &lt;b&gt; c &quot;d&quot; &apos;e&apos;") == (
+        "a <b> c \"d\" 'e'"
+    )
+    # double-escaped input decodes exactly one level (&amp;lt; -> "&lt;")
+    assert extract_text(b"x &amp;lt; y") == "x &lt; y"
+    # script/style BODIES are stripped, not just their tags — including
+    # attributes, mixed case, and embedded angle-free code
+    html = (
+        b"<html><head><STYLE type='text/css'>p { color: red }</STYLE>"
+        b"<script src='x.js'>var a = 1; if (a) { go(); }</script></head>"
+        b"<body>kept text</body></html>"
+    )
+    assert extract_text(html) == "kept text"
+    # multi-line script body (dotall)
+    assert extract_text(b"<script>\nline1\nline2\n</script>ok") == "ok"
 
 
 def test_normalize_for_shingling():

@@ -164,6 +164,36 @@ def test_bypass_short_docs(spark, tmp_path):
     assert out.filter(F.col("fr") > 1).count() == 0
 
 
+def test_html_only_rows_extracted_in_s1(spark, tmp_path):
+    """Corpora arriving html-only (text IS NULL, or no text column at all)
+    go through extract_text inside dedup_pages — one code path, and the
+    extracted text dedups against rows that arrived with text."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    body = "a normal length document body here with plenty of words"
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows = [
+        ("https://a/1", ts, f"<html><body>{body}</body></html>".encode(), None, "en"),
+        ("https://a/2", ts, b"<html><body>ignored</body></html>", body, "en"),
+        ("https://a/3", ts, None, None, "en"),  # nothing to extract -> dropped
+    ]
+    out = dedup_pages(spark, spark.createDataFrame(rows, schema),
+                      str(tmp_path / "w"), checkpoint="memory")
+    got = out.collect()
+    # html-extracted row and text row are byte-identical -> ONE canonical
+    assert len(got) == 1 and got[0]["fr"] == 2 and got[0]["text"] == body
+
+    # corpus with NO text column at all: extracted for every row
+    no_text = spark.createDataFrame(
+        [(u, ts, h, l) for (u, ts, h, _t, l) in rows[:2]],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    out2 = dedup_pages(spark, no_text, str(tmp_path / "w2"), checkpoint="memory")
+    got2 = out2.collect()
+    assert {r["text"] for r in got2} == {body, "ignored"}
+
+
 def test_consensus_tiebreak_documented(spark):
     """votes desc → shorter text → url asc → warc_ts asc."""
     import datetime
