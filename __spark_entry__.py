@@ -606,20 +606,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pages_dedup_e2e"] = pages_dedup_e2e
 
     def pages_dedup_fixture_e2e(spark, sf_dir):
-        # The seeded fixture corpus variant (planted skew/exact/near/mirror
-        # structure at higher dup density); rows-only here — its ground
-        # truth is closed-form and pytest'd (tests/test_pipeline.py).
+        # The seeded fixture corpus (planted skew/exact/near/mirror/unique
+        # structure at higher dup density than the documents-derived e2e).
+        # Oracle'd via the closed-form ground truth: the full pipeline runs
+        # (memory mode — resume machinery is pytest'd elsewhere; the driver
+        # should not pay snapshot write/read-back for a correctness row),
+        # canonicals join back to the generator's truth sidecar on
+        # (url, warc_ts), and the per-kind summary must equal
+        # _FIXTURE_E2E_EXPECTED — which tests/test_fixture_oracle.py
+        # recomputes from first principles (exact all-pairs char-5-shingle
+        # Jaccard >= 0.7 + the LCS gate + union-find + the vote/mirror
+        # accounting), independent of the engine.  At n=1000 the planted
+        # truth, the first-principles clustering, and the engine agree
+        # exactly (no pair sits in the margin gap [0.681, 0.712) around
+        # the 0.7 threshold — pinned by the same test).
         import tempfile
 
         from gencore_spark import dedup_pages
-        from gencore_spark.fixtures import pages_df
+        from gencore_spark.fixtures import PAGES_COLUMNS, pages_with_truth
 
+        full, _spec = pages_with_truth(spark, _FIXTURE_E2E_N)
         workdir = tempfile.mkdtemp(prefix="gencore_e2e_")
-        return dedup_pages(spark, pages_df(spark, 1000), workdir)
+        out = dedup_pages(spark, full.select(*PAGES_COLUMNS), workdir,
+                          checkpoint="memory")
+        truth = full.select("url", "warc_ts", "dup_kind")
+        return (
+            out.join(truth, ["url", "warc_ts"])
+            .groupBy("dup_kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.sum("fr").alias("n_docs"),
+                F.sum("rr").alias("sum_rr"),
+                F.sum(F.col("low_confidence").cast("int")).alias("n_low_conf"),
+            )
+        )
 
     q["pages_dedup_fixture_e2e"] = pages_dedup_fixture_e2e
 
     return q
+
+
+# Closed-form ground truth of the n=1000 seed-42 fixture corpus, per
+# dup_kind: (n_clusters, n_docs = sum fr, sum_rr, n_low_confidence).
+# Derivation (pinned by tests/test_fixture_oracle.py, which recomputes all
+# of it from first principles without the engine):
+#
+# * layout: skew 150 | exact 100 | near 150 | mirror 60 | unique 540;
+# * skew — one boilerplate cluster of all 150 members (every pair differs
+#   by <=2 tokens), 150 distinct texts -> vote_ratio 1/150 -> low_conf;
+# * exact — 31 groups (sizes cycle _EXACT_SIZES over 100 docs; the last
+#   group is truncated), single text each -> ratio 1.0;
+# * near — 51 groups (cycle _NEAR_SIZES over 150; last group truncates to a
+#   singleton, hence 50 low_conf, not 51); refetch groups (gid%3==0) share
+#   ONE url so their members fold to one mirror key -> sum_rr 26;
+# * mirror — 30 https/http pairs, identical text, same mirror key -> rr 1
+#   each; ratio 1.0;
+# * unique — 540 singletons.
+_FIXTURE_E2E_N = 1000
+_FIXTURE_E2E_EXPECTED = [
+    # (dup_kind, n_clusters, n_docs, sum_rr, n_low_conf)
+    ("exact", 31, 100, 0, 0),
+    ("mirror", 30, 60, 30, 0),
+    ("near", 51, 150, 26, 50),
+    ("skew", 1, 150, 0, 1),
+    ("unique", 540, 540, 0, 0),
+]
 
 
 # --------------------------------------------------------------------------
@@ -627,7 +678,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    fixture_vals = ", ".join(
+        f"('{k}', {c}, {d}, {r}, {l})" for k, c, d, r, l in _FIXTURE_E2E_EXPECTED
+    )
     return {
+        # Literal closed-form truth of the seeded fixture corpus (see
+        # _FIXTURE_E2E_EXPECTED for the derivation and the first-principles
+        # pytest that pins these constants independent of the engine).
+        "pages_dedup_fixture_e2e": f"""
+            SELECT dup_kind,
+                   CAST(n_clusters AS BIGINT) AS n_clusters,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(sum_rr AS BIGINT) AS sum_rr,
+                   CAST(n_low_conf AS BIGINT) AS n_low_conf
+            FROM (VALUES {fixture_vals})
+                 t(dup_kind, n_clusters, n_docs, sum_rr, n_low_conf)
+        """,
         "exact_dedup_canonical": f"""
             SELECT min(doc_id) AS canonical_id, count(*) AS fr
             FROM ({_DUP_DOCS_SQL}) d(doc_id, text, lang, source, n_chars)
