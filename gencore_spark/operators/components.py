@@ -72,6 +72,10 @@ def connected_components(
     nodes are the caller's concern (they keep their own id).
     """
     cfg = cfg or DEFAULT_CONFIG
+    # Node ids are type-agnostic: any hashable + orderable Spark type works
+    # (long for table-keyed graphs, struct(hi, lo) for the pipeline's
+    # 128-bit doc ids) — the star rounds only group, join, and min() them.
+    #
     # Materialize the input ONCE before iterating: every star round
     # references its input 2-3x, so an unmaterialized upstream (e.g. the
     # full signature+verify tree) would be recomputed ~(2-3)^rounds times.
@@ -80,8 +84,8 @@ def connected_components(
     # per-round difference on this host versus persist-chained lineage.
     cur = (
         edges.select(
-            F.col("id_a").cast("long").alias("a"),
-            F.col("id_b").cast("long").alias("b"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()

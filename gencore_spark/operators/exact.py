@@ -34,19 +34,29 @@ def normalize_expr(col):
 
 
 def with_doc_ids(pages: DataFrame) -> DataFrame:
-    """Stable 64-bit doc id from (url, warc_ts).
+    """Stable 128-bit doc id from (url, warc_ts): struct(hi, lo) of two
+    independent xxhash64s (seeded family members, like the text key).
 
     The timestamp is part of the key because re-crawls of one url are
     distinct fetches in the data model (consensus tie-breaks order by
     warc_ts): hashing the url alone would give two refetches — possibly
     with different texts — the same doc_id and silently merge them.
 
-    xxhash64 collisions at 10^12 fetches are ~1e4 expected (birthday
-    bound); the production upgrade is a 128-bit id (two longs) — the
-    pipeline only needs ids to be orderable + hashable, so the swap is
-    mechanical.  Sandbox scale (<=1e7) is collision-free w.h.p.
+    128 bits because a single xxhash64 expects ~1e4 birthday collisions at
+    10^12 fetches — each one a silent wrong-cluster assignment; the two-hash
+    key expects ~1e-15.  Everything downstream (grouping, joins, min/least
+    anchors, lag-over-order chains, CC star rounds, min_by election) needs
+    ids only to be hashable + orderable, which Spark structs are
+    (lexicographic, whole-stage-codegen'd) — no stage reads the id's
+    numeric value.
     """
-    return pages.withColumn("doc_id", F.xxhash64("url", "warc_ts"))
+    return pages.withColumn(
+        "doc_id",
+        F.struct(
+            F.xxhash64("url", "warc_ts").alias("hi"),
+            F.xxhash64(F.lit(_H2_SEED), "url", "warc_ts").alias("lo"),
+        ),
+    )
 
 
 def route(pages: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
