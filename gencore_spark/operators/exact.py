@@ -34,29 +34,31 @@ def normalize_expr(col):
 
 
 def with_doc_ids(pages: DataFrame) -> DataFrame:
-    """Stable 128-bit doc id from (url, warc_ts): struct(hi, lo) of two
-    independent xxhash64s (seeded family members, like the text key).
+    """Stable 64-bit doc id from (url, warc_ts).
 
     The timestamp is part of the key because re-crawls of one url are
     distinct fetches in the data model (consensus tie-breaks order by
     warc_ts): hashing the url alone would give two refetches — possibly
     with different texts — the same doc_id and silently merge them.
 
-    128 bits because a single xxhash64 expects ~1e4 birthday collisions at
-    10^12 fetches — each one a silent wrong-cluster assignment; the two-hash
-    key expects ~1e-15.  Everything downstream (grouping, joins, min/least
-    anchors, lag-over-order chains, CC star rounds, min_by election) needs
-    ids only to be hashable + orderable, which Spark structs are
-    (lexicographic, whole-stage-codegen'd) — no stage reads the id's
-    numeric value.
+    Width: 64-bit, by MEASURED adjudication (round 4).  A
+    struct(hi, lo) 128-bit id was implemented and was semantically clean —
+    every consumer (grouping, joins, min/least anchors, lag-over-order
+    chains, CC star rounds, min_by election) needs ids only to be hashable
+    + orderable, which Spark structs are, and the full suite + all oracles
+    stayed green.  But interleaved A/B at 60k pages put the struct
+    pipeline's best-of-9 wall at 88.3s vs 50.4s for the long id on the
+    same corpus (~1.76x floor; micro-benchmarks of the individual struct
+    ops are near-parity, so the cost lives in the fused whole-stage plans
+    — see BENCH/BASELINE.md round-4 notes).  The birthday bound for the
+    64-bit id is ~1e4 expected collisions at 10^12 fetches; each would
+    mis-attach one doc's text/vote.  At sandbox-to-10^10 scale it is
+    collision-free w.h.p.; a 10^12 deployment that cannot accept a ~1e-8
+    row error rate should pay the measured 1.76x (the struct swap is
+    mechanical — commit 5b1bc3f holds the full working change, and
+    connected_components remains id-type-agnostic on purpose).
     """
-    return pages.withColumn(
-        "doc_id",
-        F.struct(
-            F.xxhash64("url", "warc_ts").alias("hi"),
-            F.xxhash64(F.lit(_H2_SEED), "url", "warc_ts").alias("lo"),
-        ),
-    )
+    return pages.withColumn("doc_id", F.xxhash64("url", "warc_ts"))
 
 
 def route(pages: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
