@@ -80,6 +80,19 @@ class DedupConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 2048  # bounds numpy peak memory in pandas UDFs
     perm_chunk: int = 32          # perms hashed per numpy block
+    # MinHash slots used by the JVM est-Jaccard verify gate.  zip_with/
+    # aggregate HOFs are interpreted (not codegen'd), so the gate costs
+    # ~slots lambda evals per pair; a 32-slot prefix keeps the same 3σ
+    # no-false-reject guarantee (margin recomputed from the slot count)
+    # at 1/4 the CPU.  Must be a multiple of rows_per_band <= num_perms.
+    est_gate_slots: int = 32
+    # Pair-payload attach strategy cutover (operators/verify.py
+    # attach_pair_payload): payload sides with <= this many rows are
+    # broadcast (two broadcast-hash joins, zero exchanges, no sort);
+    # bigger sides use the explode+fold shape that never rests on a
+    # single-executor copy.  ~1 KB/doc text ⇒ default caps the broadcast
+    # at ~100 MB, inside executor memory on any sane cluster profile.
+    attach_broadcast_max_rows: int = 100_000
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

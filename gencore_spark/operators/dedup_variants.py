@@ -112,9 +112,11 @@ def minhash_lsh_clusters(
     signed = signed.persist()
     caches: list[DataFrame] = [signed]
     try:
+        n_reps = signed.count()  # materializes the persist; drives the
+        # broadcast-vs-fold text attach inside verify_pairs
         edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
         caches.append(stats)
-        verified = verify_pairs(edges, signed, cfg)
+        verified = verify_pairs(edges, signed, cfg, n_payload_rows=n_reps)
         # connected_components eagerly materializes its input edge set — the
         # fan-out action for everything cached above.  Release the caches in
         # the finally (cache lifetime = this call, success or failure): the
@@ -242,10 +244,14 @@ def ngram_jaccard_clusters(
     try:
         edges, stats = candidate_pairs(signed.select("rep_id", "minhash"), cfg)
         caches.append(stats)
-        # texts attach via the shared explode+fold (attach_pair_payload):
-        # an anchor text in a capped mega-bucket moves twice total, not
-        # once per candidate edge — same shape as verify_pairs
-        paired = attach_pair_payload(edges, signed, "norm_text", "ta", "tb")
+        # texts attach via the shared size-adaptive attach_pair_payload —
+        # broadcast double-join under the cap, explode+fold above it —
+        # same shape as verify_pairs
+        paired = attach_pair_payload(
+            edges, signed, "norm_text", "ta", "tb",
+            payload_rows=signed.count(),
+            broadcast_max_rows=cfg.attach_broadcast_max_rows,
+        )
         verified = (
             paired.withColumn("j", _token_ngram_jaccard_udf(n)(F.col("ta"), F.col("tb")))
             .filter(F.col("j") >= tau)
@@ -289,10 +295,12 @@ def embedding_cosine_clusters(
     try:
         cand, stats = bucketed_pairs(exploded, ["bucket"], cfg.bucket_size_cap)
         caches.append(stats)
-        # same explode+fold shape as the text variants: a hub vector in a
-        # capped bucket moves twice, not once per candidate edge
+        # same size-adaptive attach as the text variants (vectors are
+        # ~500 B each — broadcast under the cap, explode+fold above it)
         paired = attach_pair_payload(
-            cand, v.select(F.col("vid").alias("rep_id"), "vec"), "vec", "va", "vb"
+            cand, v.select(F.col("vid").alias("rep_id"), "vec"), "vec", "va", "vb",
+            payload_rows=v.count(),
+            broadcast_max_rows=cfg.attach_broadcast_max_rows,
         )
         pairs = (
             paired.withColumn("cos", _cosine(F.col("va"), F.col("vb")))

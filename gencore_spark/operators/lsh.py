@@ -36,7 +36,9 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import DedupConfig
 
 
-def band_explode(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
+def band_explode(
+    signed: DataFrame, cfg: DedupConfig, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(rep_id, minhash) → one row per (rep_id, band_id, band_hash).
 
     Pure JVM: band key = ``xxhash64(band_id, slice(minhash, band))`` —
@@ -44,6 +46,10 @@ def band_explode(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     (The numpy ``band_hashes`` kernel remains as the tested reference
     implementation of band mixing; the pipeline key only needs to be a
     deterministic injective-ish mix, not that exact one.)
+
+    ``passthrough`` — extra columns carried through the explode unchanged
+    (used by the streaming near-dup gate to keep url/event-time on the
+    band rows; the batch path leaves it empty so the shuffle stays thin).
     """
     r = cfg.rows_per_band
     bands_expr = F.array(
@@ -58,8 +64,8 @@ def band_explode(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
         ]
     )
     return signed.select(
-        "rep_id", F.explode(bands_expr).alias("b")
-    ).select("rep_id", "b.band_id", "b.band_hash")
+        "rep_id", *passthrough, F.explode(bands_expr).alias("b")
+    ).select("rep_id", *passthrough, "b.band_id", "b.band_hash")
 
 
 def bucketed_pairs(

@@ -111,27 +111,56 @@ def attach_pair_payload(
     out_b: str,
     id_col: str = "rep_id",
     extra_cols: tuple[str, ...] = (),
+    payload_rows: int | None = None,
+    broadcast_max_rows: int = 0,
 ) -> DataFrame:
-    """Attach a per-item payload column to BOTH sides of candidate pairs
-    with each payload value moving at most twice — THE shuffle-byte shape
-    for fat payloads (texts, vectors) at the 100 TB design point.
+    """Attach a per-item payload column to BOTH sides of candidate pairs —
+    size-adaptively, because the right join shape flips with payload size.
 
-    The naive ``pairs.join(pa, "id_a").join(pb, "id_b")`` duplicates an
-    anchor's payload across every one of its (possibly thousands of)
-    capped-bucket edges in the first join's shuffle, then ships the pair
-    row again in the second.  Instead: explode each pair into its two
-    (pair, side, item) rows, attach the payload with ONE join on the item
-    id, and fold back to one row per pair with a hash-partitioned
-    aggregation.  The explicit ``repartition(3x cores, id_a, id_b)`` both
-    feeds the groupBy (hash partitioning satisfies its required
-    distribution — no extra exchange) and gives downstream CPU-bound UDFs
-    fine enough partitions to balance payload-length skew (measured: with
-    exactly `cores` partitions the verify stage scaled at 0.63 efficiency
-    2->8 cores; AQE's byte-based coalescing would make it worse).
+    **Broadcast path** (``payload_rows`` known and <=
+    ``broadcast_max_rows``): two broadcast-hash joins.  The payload ships
+    once per executor, the pair rows never shuffle at all (they arrive
+    hash-distributed from the candidate ``distinct()``), and there is no
+    sort — profiled at 60k pages this removes the fold's two exchanges
+    plus a 724k-row SortAggregate over text-laden rows (~430 CPU-s incl.
+    GC).  Same cutover logic as Spark's own autoBroadcastJoinThreshold,
+    but driven by an exact row count the caller already has instead of
+    Catalyst's estimate (which cannot see through pandas-UDF columns).
+
+    **Fold path** (payload too big to broadcast — the 100 TB shape):
+    explode each pair into its two (pair, side, item) rows, attach the
+    payload with ONE equi-join on the item id, and fold back to one row
+    per pair with a hash-partitioned aggregation.  No single executor
+    ever holds the payload table, and the one exchange that moves payload
+    bytes compresses the near-dup-heavy rows ~10x under zstd.  The
+    explicit ``repartition(3x cores, id_a, id_b)`` both feeds the groupBy
+    (hash partitioning satisfies its required distribution — no extra
+    exchange) and gives downstream CPU-bound UDFs fine enough partitions
+    to balance payload-length skew (measured: with exactly `cores`
+    partitions the verify stage scaled at 0.63 efficiency 2->8 cores;
+    AQE's byte-based coalescing would make it worse).
 
     ``pairs`` must have (id_a, id_b, *extra_cols); ``payload`` must have
     (id_col, value_col).  Output: (id_a, id_b, *extra_cols, out_a, out_b).
     """
+    if payload_rows is not None and payload_rows <= broadcast_max_rows:
+        vals = payload.select(
+            F.col(id_col).alias("rid"), F.col(value_col).alias("v")
+        )
+        return (
+            pairs.join(
+                F.broadcast(vals.select(F.col("rid").alias("id_a"),
+                                        F.col("v").alias(out_a))),
+                "id_a",
+            )
+            .join(
+                F.broadcast(vals.select(F.col("rid").alias("id_b"),
+                                        F.col("v").alias(out_b))),
+                "id_b",
+            )
+            .select("id_a", "id_b", *extra_cols, out_a, out_b)
+        )
+
     par = pairs.sparkSession.sparkContext.defaultParallelism * 3
     sides = pairs.select(
         "id_a",
@@ -160,12 +189,19 @@ def attach_pair_payload(
 
 
 def verify_pairs(
-    edges: DataFrame, signed: DataFrame, cfg: DedupConfig
+    edges: DataFrame,
+    signed: DataFrame,
+    cfg: DedupConfig,
+    n_payload_rows: int | None = None,
 ) -> DataFrame:
     """edges (id_a, id_b) → verified edges with (jaccard, sim_hamming, lcs).
 
     ``signed`` must carry (rep_id, norm_text, simhash); it is joined twice
     (the reference's qname-keyed mate lookup, ``cluster.cpp:260-273``).
+
+    ``n_payload_rows`` — exact row count of ``signed`` if the caller has
+    it (a cached/checkpointed frame makes it one cheap job); drives the
+    broadcast-vs-fold cutover in :func:`attach_pair_payload`.
     """
     # Join order is deliberate: signatures first (1 KB/side), texts LAST and
     # only for gate survivors — candidate pairs that fail the cheap gates
@@ -183,30 +219,45 @@ def verify_pairs(
     )
     joined = edges.join(sa, "id_a").join(sb, "id_b")
 
-    # gate 0 — MinHash-estimated Jaccard, pure JVM (zip_with over the
-    # signature arrays).  The estimator's std dev at the threshold is
-    # sqrt(J(1-J)/num_perms), so gating at threshold − 3σ rejects
-    # essentially no true pairs while pruning the bulk of false band
-    # collisions before any Python runs.  Computed from cfg (not a
-    # literal) so smaller num_perms configs keep the 3σ guarantee.
-    j = cfg.jaccard_threshold
-    margin = 3.0 * (j * (1.0 - j) / cfg.num_perms) ** 0.5
-    est = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(cfg.num_perms)
-    joined = (
-        joined.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= j - margin)
-        .drop("mh_a", "mh_b")
-    )
-
-    # gate 1 — JVM-side popcount
+    # gate 0 — JVM-side popcount.  ONE codegen'd instruction per pair
+    # (bit_count(xor)), so it runs first: even at the lenient hamming<=16
+    # cut it rejects the bulk of false band collisions (dissimilar same-
+    # domain docs sit at hamming ~24-32) for essentially zero CPU.
     survivors = joined.withColumn(
         "sim_hamming",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     ).filter(F.col("sim_hamming") <= cfg.simhash_max_hamming)
+
+    # gate 1 — MinHash-estimated Jaccard, pure JVM but *interpreted*
+    # (zip_with/aggregate higher-order functions don't codegen): one
+    # lambda eval per slot per pair makes this the priciest JVM gate —
+    # profiled at 405 CPU-s on 60k docs when it ran first over all 128
+    # slots — so it runs only on popcount survivors AND over a
+    # cfg.est_gate_slots prefix of the signature.  The estimator's std
+    # dev is sqrt(J(1-J)/slots); gating at threshold − 3σ (margin
+    # recomputed from the slot count) rejects essentially no true pairs
+    # while pruning the false collisions the hamming cut let through,
+    # before any Python runs.  A pair that band-collided inside the
+    # prefix carries up to rows_per_band guaranteed-equal slots — an
+    # UPWARD bias only, so it can never reject a true pair; it just
+    # passes a few extra junk pairs on to the decisive exact gate.
+    j = cfg.jaccard_threshold
+    slots = min(cfg.est_gate_slots, cfg.num_perms)
+    margin = 3.0 * (j * (1.0 - j) / slots) ** 0.5
+    est = F.aggregate(
+        F.zip_with(
+            F.slice("mh_a", 1, slots),
+            F.slice("mh_b", 1, slots),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(slots)
+    survivors = (
+        survivors.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= j - margin)
+        .drop("mh_a", "mh_b")
+    )
 
     # now (and only now) fetch texts for the survivors, via the shared
     # explode+fold shape (see attach_pair_payload): each text moves at most
@@ -214,6 +265,8 @@ def verify_pairs(
     gated = attach_pair_payload(
         survivors, signed, "norm_text", "text_a", "text_b",
         extra_cols=("sim_hamming",),
+        payload_rows=n_payload_rows,
+        broadcast_max_rows=cfg.attach_broadcast_max_rows,
     )
 
     # gates 2+3 — one vectorized UDF pass

@@ -27,7 +27,9 @@ Scale notes (the design is for 10^3 executors / 10^14 bytes):
   (column pruning is the single biggest I/O saver; SURVEY.md §4);
 * every expensive stage runs on |distinct texts|, not |docs|;
 * shuffles: s1 none (narrow), s2 one (groupBy text_hash), s3 two
-  (bucket groupBy + pair join) + two hash joins (verify text fetch),
+  (bucket groupBy + pair join) + the size-adaptive verify text attach
+  (broadcast double-join = zero exchanges when the reps table fits the
+  broadcast cap; explode+fold above it),
   s4 O(log n) CC rounds, s5 three hash aggs (no windows) — all keyed on
   ids or hashes, AQE handles skew inside the cap, the mega-bucket cap
   handles the rest;
@@ -165,9 +167,23 @@ class DedupPipeline:
 
         def build_edges() -> DataFrame:
             signed = reps.select("rep_id", "norm_text", "simhash", "minhash")
+            # exact reps count drives the broadcast-vs-fold text attach in
+            # verify_pairs.  Cheap on both paths: parquet metadata count in
+            # stages mode; in memory mode the first action materializes the
+            # s2 localCheckpoint — work the next job would do anyway.
+            n_reps = reps.count()
+            self.report.stage(
+                "s3_attach",
+                n_reps=n_reps,
+                mode=(
+                    "broadcast"
+                    if n_reps <= cfg.attach_broadcast_max_rows
+                    else "fold"
+                ),
+            )
             edges, bucket_stats = candidate_pairs(signed, cfg)
             bucket_stats_holder.append(bucket_stats)
-            return verify_pairs(edges, signed, cfg)
+            return verify_pairs(edges, signed, cfg, n_payload_rows=n_reps)
 
         # try/finally owns the bucket-stats cache lifetime: a failure
         # between candidate_pairs and the post-s4 agg (e.g. a failed CC

@@ -102,6 +102,36 @@ def test_attach_pair_payload_single_join(spark):
     }
 
 
+def test_attach_pair_payload_broadcast_cutover(spark):
+    """Size-adaptive attach: a payload under the broadcast cap takes the
+    two-broadcast-hash-join path (no exchange, no sort, no explode) and
+    returns exactly what the fold path returns."""
+    import re
+
+    from gencore_spark.operators.verify import attach_pair_payload
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    pay = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "rep_id long, norm_text string"
+    )
+    bc = attach_pair_payload(
+        pairs, pay, "norm_text", "ta", "tb", payload_rows=3,
+        broadcast_max_rows=100,
+    )
+    plan = explain_str(bc)
+    assert len(set(re.findall(r"\((\d+)\) BroadcastHashJoin", plan))) == 2, plan
+    assert "SortAggregate" not in plan and "Generate" not in plan, plan
+    got = {(r.id_a, r.id_b): (r.ta, r.tb) for r in bc.collect()}
+    fold = attach_pair_payload(pairs, pay, "norm_text", "ta", "tb")
+    assert got == {(r.id_a, r.id_b): (r.ta, r.tb) for r in fold.collect()}
+    # over the cap: same call falls back to the fold shape
+    over = attach_pair_payload(
+        pairs, pay, "norm_text", "ta", "tb", payload_rows=101,
+        broadcast_max_rows=100,
+    )
+    assert "BroadcastHashJoin" not in explain_str(over)
+
+
 def test_ngram_text_attach_is_fold_not_per_pair_join(spark):
     """VERDICT r3 'What's wrong #2': ngram_jaccard_clusters must not ship
     each text once per candidate edge.  The old shape joined texts ON
@@ -290,3 +320,69 @@ def test_streaming_dup_counter_state_eviction(spark, tmp_path):
     assert finals.get("https://b/1") == 1
     # live updates were emitted for every key while in state
     assert live.get("https://a/1") == 2 and live.get("https://c/1") == 1
+
+
+def test_streaming_near_dup_gate_flags_only_corpus_near_dups(spark, tmp_path):
+    """Stream-static LSH gate: a page near-identical to an existing
+    canonical rep band-collides and is flagged once; a novel page is not
+    flagged; the matched_rep points at the colliding canonical."""
+    import datetime
+
+    from gencore_spark.streaming import reps_band_table, streaming_near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from the hedgerow in the late afternoon sun "
+        "and a river murmurs past the old stone bridge beyond the orchard"
+    )
+    other = (
+        "completely different subject matter entirely about distributed "
+        "query engines shuffling partitions across executors with adaptive "
+        "planning and columnar storage formats for analytical workloads"
+    )
+    novel = (
+        "unrelated fresh content about tide pools and bioluminescent "
+        "plankton drifting along the shoreline after midnight in winter "
+        "storms that rearrange the sand banks every single year"
+    )
+
+    # static side: signatures of the existing corpus (batch twin of s2)
+    from gencore_spark.config import DEFAULT_CONFIG
+    from gencore_spark.functions.udfs import minhash_udf
+    from gencore_spark.operators.exact import normalize_expr
+    from pyspark.sql import functions as F
+
+    reps = (
+        spark.createDataFrame([(1, base), (2, other)], "rep_id long, text string")
+        .withColumn("norm_text", normalize_expr(F.col("text")))
+        .withColumn("minhash", minhash_udf(DEFAULT_CONFIG)(F.col("norm_text")))
+    )
+    bands = reps_band_table(reps)
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    arriving = spark.createDataFrame(
+        [
+            ("https://new/near-dup", ts, base + " qq", "en"),
+            ("https://new/novel", ts, novel, "en"),
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    arriving.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    gated = streaming_near_dup_gate(stream, bands)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("ndgate")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ndgate").collect()
+    assert len(rows) == 1, rows  # exactly one flagged page, once
+    assert rows[0]["url"] == "https://new/near-dup"
+    assert rows[0]["matched_rep"] == 1  # collided with base, not other
