@@ -605,6 +605,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pages_dedup_e2e"] = pages_dedup_e2e
 
+    def pages_dedup_incremental_e2e(spark, sf_dir):
+        # Incremental consolidation (gencore_spark.delta): bootstrap the
+        # state on ~3/4 of the e2e corpus, merge the remaining quarter with
+        # dedup_pages_incremental, and return the SAME projection as
+        # pages_dedup_e2e — so the SAME first-principles DuckDB SQL is the
+        # oracle.  What this pins: the incremental path (delta-only
+        # signatures, touched-bucket candidates, contraction-warm-started
+        # CC, affected-cluster re-vote + carry-over) must be
+        # indistinguishable from a full recompute on the union corpus.
+        # The corpus has no capped buckets (documents-derived, no mega
+        # template), so equality is structural, not probabilistic — see
+        # delta.py's module docstring for the capped-bucket caveat.
+        import tempfile
+
+        from pyspark.sql import functions as SF
+
+        from gencore_spark import dedup_pages, dedup_pages_incremental
+
+        pages = _e2e_pages(spark, sf_dir)
+        keyed = pages.withColumn(
+            "_h", SF.pmod(SF.xxhash64("url", "warc_ts"), SF.lit(4))
+        )
+        base = keyed.filter(SF.col("_h") != 0).drop("_h")
+        delta = keyed.filter(SF.col("_h") == 0).drop("_h")
+        state = tempfile.mkdtemp(prefix="gencore_inc_base_")
+        out_dir = tempfile.mkdtemp(prefix="gencore_inc_out_")
+        dedup_pages(spark, base, state)  # stages mode: state snapshots
+        out = dedup_pages_incremental(spark, delta, state, out_dir)
+        return out.select(
+            "url", "text", "lang", "fr", "rr", "n_variants",
+            "vote_ratio", "low_confidence",
+        )
+
+    q["pages_dedup_incremental_e2e"] = pages_dedup_incremental_e2e
+
     def pages_dedup_fixture_e2e(spark, sf_dir):
         # The seeded fixture corpus (planted skew/exact/near/mirror/unique
         # structure at higher dup density than the documents-derived e2e).
@@ -681,7 +716,7 @@ def oracle_sql() -> dict[str, str]:
     fixture_vals = ", ".join(
         f"('{k}', {c}, {d}, {r}, {l})" for k, c, d, r, l in _FIXTURE_E2E_EXPECTED
     )
-    return {
+    sql = {
         # Literal closed-form truth of the seeded fixture corpus (see
         # _FIXTURE_E2E_EXPECTED for the derivation and the first-principles
         # pytest that pins these constants independent of the engine).
@@ -1128,3 +1163,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN rrc ON rrc.cid = cn.cid
         """,
     }
+    # The incremental-consolidation e2e must be indistinguishable from a
+    # full recompute on the union corpus, so its oracle IS the
+    # full-recompute oracle, verbatim.
+    sql["pages_dedup_incremental_e2e"] = sql["pages_dedup_e2e"]
+    return sql
+

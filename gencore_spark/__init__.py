@@ -9,8 +9,15 @@ consensus vote electing one canonical document.
 """
 
 from .config import DEFAULT_CONFIG, DedupConfig
+from .delta import dedup_pages_incremental
 from .pipeline import DedupPipeline, dedup_pages
 
 __version__ = "0.1.0"
 
-__all__ = ["DEFAULT_CONFIG", "DedupConfig", "DedupPipeline", "dedup_pages"]
+__all__ = [
+    "DEFAULT_CONFIG",
+    "DedupConfig",
+    "DedupPipeline",
+    "dedup_pages",
+    "dedup_pages_incremental",
+]
