@@ -19,9 +19,11 @@ re-touches only what the delta can affect:
   (rep → cluster) CONTRACTION edge per previously clustered rep: adding
   edges can only merge components, never split them, so the old
   assignment is a sound contraction of the old edge set, and because
-  ``cluster_id`` is the component's minimum rep id, re-running CC over
-  the contracted graph reproduces exactly the ids a full recompute would
-  pick (min over a union is the min of the mins);
+  ``cluster_id`` is the component's minimum node id, a merge
+  deterministically keeps the smaller of the merged cluster ids (min
+  over a union is the min of the mins — over THIS state's first-seen rep
+  ids; see the exactness paragraph below on how those relate to a full
+  recompute's ids);
 * **consensus vote** re-runs only for AFFECTED clusters — those that
   gained a member, merged, or formed — and every other canonical row is
   carried over from the previous snapshot byte-for-byte.
@@ -53,6 +55,8 @@ valid state for the next delta.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .config import DEFAULT_CONFIG, DedupConfig
@@ -66,6 +70,7 @@ from .operators.exact import (
     with_text_hash,
 )
 from .operators.lsh import band_explode, bucketed_pairs
+from .operators.metrics import RunReport
 from .operators.verify import rep_containment, verify_pairs
 from .pipeline import DOC_COLUMNS, _ensure_text
 from .sources import TableIO
@@ -102,6 +107,7 @@ def dedup_pages_incremental(
             f"checkpoint='stages' first)"
         )
     out = TableIO(spark, out_dir)
+    report = RunReport()
 
     old_docs = old.read("s1_docs")
     old_reps = old.read("s2_reps")
@@ -114,6 +120,7 @@ def dedup_pages_incremental(
     out.write(old_docs.unionByName(delta), "s1_docs")
     docs = out.read("s1_docs")
     delta = docs.join(old_docs.select("doc_id"), "doc_id", "left_anti")
+    report.stage("s1_docs", rows=docs.count())
 
     # ---- s2: sign only never-seen texts ---------------------------------
     delta_main = delta.filter(~F.col("bypass")).select(
@@ -142,6 +149,7 @@ def dedup_pages_incremental(
     )
     out.write(refreshed_old.unionByName(fresh_signed), "s2_reps")
     reps = out.read("s2_reps")
+    report.stage("s2_reps", rows=reps.count())
 
     # ---- s3: candidates only where a fresh rep can matter ----------------
     # bands of ALL reps are a narrow JVM pass over the STORED minhash
@@ -179,6 +187,17 @@ def dedup_pages_incremental(
             cand_new, signed_all, cfg, n_payload_rows=reps.count()
         )
         out.write(old_edges.unionByName(delta_verified), "s3_edges")
+        # stats materialized as a side effect of the s3 write — same
+        # post-action fold the batch pipeline uses
+        row = bucket_stats.agg(
+            F.sum(F.col("capped").cast("int")).alias("capped"),
+            F.max("bucket_size").alias("biggest"),
+        ).collect()[0]
+        report.stage(
+            "s3_edges",
+            n_capped_buckets=int(row["capped"] or 0),
+            max_bucket_size=row["biggest"],
+        )
     finally:
         bucket_stats.unpersist()
     edges = out.read("s3_edges")
@@ -195,6 +214,7 @@ def dedup_pages_incremental(
     )
     out.write(cc, "s4_cc")
     cc = out.read("s4_cc")
+    report.stage("s4_cc", rows=cc.count())
 
     # ---- s5: re-vote only affected clusters ------------------------------
     new_assign = (
@@ -272,4 +292,11 @@ def dedup_pages_incremental(
         affected.unionByName(vanished).distinct(), "cluster_id", "left_anti"
     )
     out.write(carried.unionByName(voted.select(*old_canon.columns)), "s5_canonical")
-    return out.read("s5_canonical")
+    canonical = out.read("s5_canonical")
+    report.stage(
+        "s5_canonical",
+        rows=canonical.count(),
+        n_affected_clusters=affected.count(),
+    )
+    report.write(os.path.join(out_dir, "REPORT.json"))
+    return canonical
