@@ -127,9 +127,14 @@ def main() -> None:
         for r, c in zip(results, LEVELS):
             r["runs"] = len(runs[c])
 
+        # sort by core count for the efficiency math: LEVELS order is the
+        # EXECUTION order (e.g. "32,8" runs the contention-fragile wide leg
+        # first, while a co-tenant quiet window is freshest), not the ratio
+        # direction
+        results.sort(key=lambda r: r["cores"])
         lo, hi = results[0], results[-1]
         ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
-        eff = ratio / (LEVELS[-1] / LEVELS[0])
+        eff = ratio / (hi["cores"] / lo["cores"])
         print(json.dumps({
             "n_pages": n_pages, "levels": results,
             "speedup": round(ratio, 3),
@@ -146,7 +151,7 @@ def main() -> None:
                     f"| local[{r['cores']}] | {r['wall_sec']} | {r['docs_per_sec']} |\n"
                     for r in results
                 )
-                + f"\nspeedup {LEVELS[0]}→{LEVELS[-1]} cores: "
+                + f"\nspeedup {lo['cores']}→{hi['cores']} cores: "
                 f"**{ratio:.2f}x**; scaling efficiency: **{eff:.3f}** "
                 f"(target ≥ 0.8)\n"
             )
