@@ -116,7 +116,13 @@ def dedup_pages_incremental(
     old_canon = old.read("s5_canonical")
 
     # ---- s1: append the delta -------------------------------------------
-    delta = _delta_docs(new_pages, cfg)
+    # re-delivered fetches (same url+warc_ts → same doc_id) are dropped
+    # BEFORE the write: without this anti-join a re-delivery would append
+    # duplicate rows to s1_docs, and the NEXT delta touching those clusters
+    # would double-count them in the vote (fr/n_variants inflation)
+    delta = _delta_docs(new_pages, cfg).join(
+        old_docs.select("doc_id"), "doc_id", "left_anti"
+    )
     out.write(old_docs.unionByName(delta), "s1_docs")
     docs = out.read("s1_docs")
     delta = docs.join(old_docs.select("doc_id"), "doc_id", "left_anti")

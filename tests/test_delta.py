@@ -106,6 +106,12 @@ def test_incremental_state_chains_and_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, canon3.select(*cols).collect())) == sorted(
         map(tuple, canon2.select(*cols).collect())
     )
+    # ...and a no-op on the STATE, not just the output: re-delivered
+    # doc_ids must not be appended to s1_docs (duplicate rows there would
+    # inflate fr/n_variants on the NEXT delta touching their clusters)
+    s1_before = spark.read.parquet(str(tmp_path / "i2" / "s1_docs")).count()
+    s1_after = spark.read.parquet(str(tmp_path / "i3" / "s1_docs")).count()
+    assert s1_after == s1_before
     full.unpersist()
 
 

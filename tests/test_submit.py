@@ -50,7 +50,7 @@ def test_spark_submit_py_files(spark, tmp_path):
             os.path.join(REPO, "tools", "submit_job.py"),
             "--input", pages_dir,
             "--workdir", str(tmp_path / "work"),
-            "--checkpoint", "memory",
+            "--checkpoint", "stages",
         ],
         capture_output=True, text=True, timeout=420,
         cwd=str(tmp_path),  # NOT the repo: the zip must be self-sufficient
@@ -65,3 +65,26 @@ def test_spark_submit_py_files(spark, tmp_path):
     # verified local configuration (ADVICE r2)
     assert out["codec"] == "zstd"
     assert out["session_tz"] == "UTC"
+
+    # incremental front door: re-deliver the same corpus as the delta
+    # against the state just written — a pure no-op merge, same count
+    proc2 = subprocess.run(
+        [
+            SUBMIT, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "submit_job.py"),
+            "--input", pages_dir,
+            "--state-dir", str(tmp_path / "work"),
+            "--workdir", str(tmp_path / "work2"),
+        ],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    line2 = [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1]
+    out2 = json.loads(line2)
+    assert out2["canonical_docs"] == out["canonical_docs"]
+    assert os.path.exists(str(tmp_path / "work2" / "REPORT.json"))

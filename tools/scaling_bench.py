@@ -49,6 +49,34 @@ LEVELS = [
 ]
 
 
+def _tree_cpu_sec() -> float:
+    """Total CPU seconds consumed by THIS process and every live
+    descendant (JVM, pyspark daemons/workers), including reaped children
+    (their time folds into the parent's cutime/cstime).  /proc stat fields
+    14-17 are utime/stime/cutime/cstime in clock ticks."""
+    tick = os.sysconf("SC_CLK_TCK")
+    children: dict[int, list[int]] = {}
+    stats: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[-1].split()
+        except OSError:
+            continue
+        pid = int(d)
+        ppid = int(parts[1])  # field 4, 0-indexed 1 after the comm split
+        children.setdefault(ppid, []).append(pid)
+        stats[pid] = sum(int(parts[i]) for i in (11, 12, 13, 14)) / tick
+    total, stack = 0.0, [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        total += stats.get(pid, 0.0)
+        stack.extend(children.get(pid, []))
+    return total
+
+
 def run_level(cores: int, pages_path: str, workdir: str) -> None:
     """Child-process entry: one pipeline run at one parallelism level."""
     from gencore_spark import dedup_pages
@@ -60,12 +88,20 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
     )
     pages = spark.read.parquet(pages_path)
     n = pages.count()
+    load0 = os.getloadavg()[0]
+    cpu0 = _tree_cpu_sec()
     t0 = time.time()
     # memory mode: the scaling law being measured is the compute pipeline,
     # not the snapshot-write I/O path (which is resume-only machinery)
     out = dedup_pages(spark, pages, workdir, checkpoint="memory")
     n_out = out.count()
     wall = time.time() - t0
+    # CPU sampled BEFORE spark.stop() so live workers are still in /proc;
+    # utilization = job CPU / (wall × affinity width).  Low utilization +
+    # high host load ⇒ the co-tenant held the cores; low utilization on a
+    # quiet host ⇒ the job itself went serial — the artifact now separates
+    # the two failure modes that a bare wall-clock number conflates.
+    cpu = _tree_cpu_sec() - cpu0
     print(
         json.dumps(
             {
@@ -74,6 +110,10 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
                 "n_canonical": n_out,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n / wall, 1),
+                "cpu_sec": round(cpu, 1),
+                "cpu_util": round(cpu / (wall * cores), 3),
+                "load_before": round(load0, 2),
+                "load_after": round(os.getloadavg()[0], 2),
             }
         )
     )
@@ -146,9 +186,12 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
                 f"\n## Scaling run {stamp} — {n_pages} pages\n\n"
-                f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
+                f"| cores | wall (s) | docs/sec | job CPU (s) | util | host load (start→end) |\n"
+                f"|---|---|---|---|---|---|\n"
                 + "".join(
-                    f"| local[{r['cores']}] | {r['wall_sec']} | {r['docs_per_sec']} |\n"
+                    f"| local[{r['cores']}] | {r['wall_sec']} | {r['docs_per_sec']} "
+                    f"| {r.get('cpu_sec', '—')} | {r.get('cpu_util', '—')} "
+                    f"| {r.get('load_before', '?')}→{r.get('load_after', '?')} |\n"
                     for r in results
                 )
                 + f"\nspeedup {lo['cores']}→{hi['cores']} cores: "

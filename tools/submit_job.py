@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> None:
                    "'memory' = localCheckpoint fast path")
     p.add_argument("--min-cluster-size", type=int, default=None,
                    help="A7 gate: drop clusters smaller than this")
+    p.add_argument("--state-dir", default=None,
+                   help="INCREMENTAL mode: existing five-snapshot state to "
+                   "merge --input into (the daily delta job); the updated "
+                   "state is written to --workdir and the previous state "
+                   "is never mutated")
     args = p.parse_args(argv)
 
     if args.build_zip:
@@ -112,8 +117,15 @@ def main(argv: list[str] | None = None) -> None:
         cfg = dataclasses.replace(cfg, min_cluster_size=args.min_cluster_size)
 
     pages = spark.read.parquet(args.input)
-    pipe = DedupPipeline(spark, args.workdir, cfg, checkpoint=args.checkpoint)
-    canonical = pipe.run(pages)
+    if args.state_dir:
+        from gencore_spark import dedup_pages_incremental
+
+        canonical = dedup_pages_incremental(
+            spark, pages, args.state_dir, args.workdir, cfg
+        )
+    else:
+        pipe = DedupPipeline(spark, args.workdir, cfg, checkpoint=args.checkpoint)
+        canonical = pipe.run(pages)
     if args.output:
         canonical.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
