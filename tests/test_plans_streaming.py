@@ -386,3 +386,59 @@ def test_streaming_near_dup_gate_flags_only_corpus_near_dups(spark, tmp_path):
     assert len(rows) == 1, rows  # exactly one flagged page, once
     assert rows[0]["url"] == "https://new/near-dup"
     assert rows[0]["matched_rep"] == 1  # collided with base, not other
+
+
+def test_driver_stage_metrics_disabled_ui_returns_empty(spark):
+    # the default session runs with spark.ui.enabled=false (conftest), so
+    # the REST read must degrade to {} rather than raise — callers splat
+    # the result into their leg JSON
+    from gencore_spark.plans import driver_stage_metrics
+
+    assert driver_stage_metrics(spark) == {}
+
+
+def test_driver_stage_metrics_sums_and_converts_units(spark, monkeypatch):
+    # happy path with the HTTP layer stubbed: two stages; ns → s for CPU,
+    # ms → s for run/GC
+    import io
+    import json as _json
+    import urllib.request
+
+    from gencore_spark.plans import metrics_api
+
+    stages = [
+        {"executorCpuTime": 3_000_000_000, "executorRunTime": 5_000,
+         "jvmGcTime": 250},
+        {"executorCpuTime": 1_500_000_000, "executorRunTime": 2_500,
+         "jvmGcTime": 250},
+    ]
+
+    class _Resp(io.StringIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    captured = {}
+
+    def fake_urlopen(url, timeout=None):
+        captured["url"] = url
+        return _Resp(_json.dumps(stages))
+
+    class _FakeSC:
+        uiWebUrl = "http://stub:4040"
+        applicationId = "app-123"
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    out = metrics_api.driver_stage_metrics(_FakeSpark())
+    assert captured["url"] == (
+        "http://stub:4040/api/v1/applications/app-123/stages?status=complete"
+    )
+    assert out == {
+        "task_cpu_sec": 4.5, "task_run_sec": 7.5, "jvm_gc_sec": 0.5,
+        "n_stages": 2,
+    }

@@ -80,11 +80,15 @@ def _tree_cpu_sec() -> float:
 def run_level(cores: int, pages_path: str, workdir: str) -> None:
     """Child-process entry: one pipeline run at one parallelism level."""
     from gencore_spark import dedup_pages
+    from gencore_spark.plans import driver_stage_metrics
     from gencore_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"scaling-{cores}", master=f"local[{cores}]",
         shuffle_partitions=cores,
+        # UI on for the REST task-metric totals (wall-noise-immune CPU
+        # decomposition); retain enough stages to cover the whole pipeline
+        extra={"spark.ui.enabled": "true", "spark.ui.retainedStages": "4000"},
     )
     pages = spark.read.parquet(pages_path)
     n = pages.count()
@@ -114,6 +118,10 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
                 "cpu_util": round(cpu / (wall * cores), 3),
                 "load_before": round(load0, 2),
                 "load_after": round(os.getloadavg()[0], 2),
+                # task-level decomposition (run − cpu − gc ≈ descheduled/
+                # stalled-on-core time, the contention signal); {} if the
+                # REST API was unreachable
+                **driver_stage_metrics(spark),
             }
         )
     )
@@ -186,11 +194,15 @@ def main() -> None:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write(
                 f"\n## Scaling run {stamp} — {n_pages} pages\n\n"
-                f"| cores | wall (s) | docs/sec | job CPU (s) | util | host load (start→end) |\n"
-                f"|---|---|---|---|---|---|\n"
+                f"| cores | wall (s) | docs/sec | job CPU (s) | util "
+                f"| task CPU (s) | task run (s) | GC (s) "
+                f"| host load (start→end) |\n"
+                f"|---|---|---|---|---|---|---|---|---|\n"
                 + "".join(
                     f"| local[{r['cores']}] | {r['wall_sec']} | {r['docs_per_sec']} "
                     f"| {r.get('cpu_sec', '—')} | {r.get('cpu_util', '—')} "
+                    f"| {r.get('task_cpu_sec', '—')} | {r.get('task_run_sec', '—')} "
+                    f"| {r.get('jvm_gc_sec', '—')} "
                     f"| {r.get('load_before', '?')}→{r.get('load_after', '?')} |\n"
                     for r in results
                 )

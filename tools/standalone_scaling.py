@@ -116,6 +116,7 @@ def run_leg(n_exec: int, pages_path: str, workdir: str) -> dict:
 def run_driver(n_exec: int, pages_path: str, workdir: str) -> None:
     """Child-process entry: the timed application."""
     from gencore_spark import dedup_pages
+    from gencore_spark.plans import driver_stage_metrics
     from gencore_spark.session import get_spark
 
     cores = n_exec * CORES_PER_EXEC
@@ -124,6 +125,8 @@ def run_driver(n_exec: int, pages_path: str, workdir: str) -> None:
         master=MASTER_URL,
         shuffle_partitions=cores,
         extra={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "4000",
             "spark.executor.cores": str(CORES_PER_EXEC),
             "spark.executor.memory": "10g",
             "spark.cores.max": str(cores),
@@ -160,6 +163,7 @@ def run_driver(n_exec: int, pages_path: str, workdir: str) -> None:
         "task_time_sec": round(cpu, 1),
         "load_before": round(load0, 2),
         "load_after": round(os.getloadavg()[0], 2),
+        **driver_stage_metrics(spark),
     }))
     spark.stop()
 
@@ -219,10 +223,12 @@ def main() -> None:
                 f"standalone deploy on one host; per-executor JVM+heap, "
                 f"affinity-bound; driver off the measured cores)\n\n"
                 f"| executors | wall (s) | docs/sec | task time (s) "
-                f"| host load (start→end) |\n|---|---|---|---|---|\n"
+                f"| task CPU (s) | GC (s) "
+                f"| host load (start→end) |\n|---|---|---|---|---|---|---|\n"
                 + "".join(
                     f"| {r['executors']}×{CORES_PER_EXEC} | {r['wall_sec']} "
                     f"| {r['docs_per_sec']} | {r.get('task_time_sec', '—')} "
+                    f"| {r.get('task_cpu_sec', '—')} | {r.get('jvm_gc_sec', '—')} "
                     f"| {r.get('load_before', '?')}→{r.get('load_after', '?')} |\n"
                     for r in results
                 )
