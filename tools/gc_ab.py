@@ -28,8 +28,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANTS: dict[str, dict[str, str]] = {
-    # baseline: what PIPELINE_CONFS ships (ergonomic GC threads = width)
-    "parallel-ergo": {},
+    # baseline: what rounds 1-4 shipped (fixed 48g local heap, ergonomic
+    # GC threads = width) — pinned explicitly so it stays the historical
+    # baseline now that get_spark defaults to width-sized heap/GC threads
+    "parallel-ergo": {
+        "spark.driver.memory": "48g",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    },
+    # what get_spark now ships (width-sized): measure as its own variant
+    "shipped": {},
     # fewer GC threads than mutator width: GC work is mostly bounded by
     # live-set copying, not thread count — spare threads just burn CPU
     "parallel-gct4": {
@@ -41,6 +48,18 @@ VARIANTS: dict[str, dict[str, str]] = {
     # smaller heap: smaller young gen -> more frequent but cheaper
     # scavenges; tests whether the 48g default oversizes the young gen
     "parallel-16g": {"spark.driver.memory": "16g"},
+    # heap ladder for the width-proportional policy (a real N-core
+    # executor ships ~2g/core; local-mode's fixed 48g is the artifact)
+    "parallel-4g": {"spark.driver.memory": "4g"},
+    "parallel-8g": {"spark.driver.memory": "8g"},
+    "parallel-32g": {"spark.driver.memory": "32g"},
+    "parallel-64g": {"spark.driver.memory": "64g"},
+    # winner-heap + pinned GC threads: does thread pinning stack with
+    # right-sizing at full width?
+    "parallel-16g-gct8": {
+        "spark.driver.memory": "16g",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+    },
 }
 
 
@@ -97,7 +116,10 @@ def main() -> None:
         )
         subprocess.run([sys.executable, "-c", gen], check=True,
                        stderr=subprocess.DEVNULL)
-        for name in VARIANTS:
+        # pick variants via SPARK_GRAFT_GCAB_VARIANTS="a,b,c" (default all)
+        sel = os.environ.get("SPARK_GRAFT_GCAB_VARIANTS")
+        names = [n for n in sel.split(",") if n] if sel else list(VARIANTS)
+        for name in names:
             workdir = os.path.join(tmp, f"work_{name}")
             shutil.rmtree(workdir, ignore_errors=True)
             proc = subprocess.run(
