@@ -88,3 +88,16 @@ def test_spark_submit_py_files(spark, tmp_path):
     out2 = json.loads(line2)
     assert out2["canonical_docs"] == out["canonical_docs"]
     assert os.path.exists(str(tmp_path / "work2" / "REPORT.json"))
+
+
+def test_jvm_sizing_policy():
+    """Width-sized JVM policy (BENCH/BASELINE.md heap ladders): heap =
+    2g/core clamped [4g, 16g]; ParallelGCThreads = min(width, 8).  Pinned
+    so a config regression (e.g. a fixed giant local heap reappearing)
+    fails loudly — at 32 cores that config measured 2.2x the wall."""
+    from gencore_spark.session import _jvm_sizing
+
+    assert _jvm_sizing(1) == ("4g", "-XX:+UseParallelGC -XX:ParallelGCThreads=1")
+    assert _jvm_sizing(2) == ("4g", "-XX:+UseParallelGC -XX:ParallelGCThreads=2")
+    assert _jvm_sizing(8) == ("16g", "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
+    assert _jvm_sizing(32) == ("16g", "-XX:+UseParallelGC -XX:ParallelGCThreads=8")
