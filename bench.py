@@ -63,6 +63,16 @@ def run_headline_rep(cpus: int, pages_path: str, workdir: str) -> None:
         shuffle_partitions=cpus,
     )
     pages = spark.read.parquet(pages_path)
+    # UNTIMED warmup: the same pipeline over a 2k-page slice into a
+    # throwaway workdir.  This forks the Python/Arrow worker pool and
+    # compiles the whole-stage-codegen classes the timed run reuses —
+    # per-JVM fixed costs that a steady-state cluster job amortizes to
+    # zero; folding them into the measured wall misattributes JVM/daemon
+    # startup as pipeline throughput (same rationale as excluding corpus
+    # generation, and as the per-query loop's session warmup below).
+    dedup_pages(
+        spark, pages.limit(2000), workdir + "_warm", checkpoint="memory"
+    ).count()
     t0 = time.time()
     out = dedup_pages(spark, pages, workdir, checkpoint="memory")
     n_out = out.count()

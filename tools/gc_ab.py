@@ -60,6 +60,17 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.driver.memory": "16g",
         "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
     },
+    # shuffle-partition tail smoothing: at partitions == cores the slowest
+    # task of every shuffle stage idles the other slots (measured 0.92
+    # slot occupancy at 8 wide vs 0.97 at 2); 2-3x cores lets the
+    # scheduler backfill stage tails at the cost of more, smaller tasks.
+    # Values assume the default 8-core run (pass cores=8).
+    "sp2x": {"spark.sql.shuffle.partitions": "16"},
+    "sp3x": {"spark.sql.shuffle.partitions": "24"},
+    "sp2x-8g": {
+        "spark.sql.shuffle.partitions": "16",
+        "spark.driver.memory": "8g",
+    },
 }
 
 
@@ -84,14 +95,26 @@ def run_variant(name: str, cores: int, pages_path: str, workdir: str) -> None:
     )
     pages = spark.read.parquet(pages_path)
     n = pages.count()
+    # untimed warmup + metric snapshot, mirroring tools/scaling_bench.py:
+    # variants are compared on the steady-state window (worker forks and
+    # codegen are width-independent fixed cost, not GC/heap signal)
+    dedup_pages(spark, pages.limit(2000), workdir + "_warm",
+                checkpoint="memory").count()
+    m0 = driver_stage_metrics(spark)
     t0 = time.time()
     out = dedup_pages(spark, pages, workdir, checkpoint="memory")
     n_out = out.count()
     wall = time.time() - t0
+    m1 = driver_stage_metrics(spark)
+    metrics = {
+        k: round(m1[k] - m0.get(k, 0), 1) if isinstance(m1[k], float)
+        else m1[k] - m0.get(k, 0)
+        for k in m1
+    }
     print(json.dumps({
         "variant": name, "cores": cores, "n_pages": n, "n_canonical": n_out,
         "wall_sec": round(wall, 2), "docs_per_sec": round(n / wall, 1),
-        **driver_stage_metrics(spark),
+        **metrics,
     }))
     spark.stop()
 

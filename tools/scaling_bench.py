@@ -92,6 +92,18 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
     )
     pages = spark.read.parquet(pages_path)
     n = pages.count()
+    # UNTIMED warmup: the same pipeline over a 2k-page slice into a
+    # throwaway workdir — forks the Python/Arrow worker pool and compiles
+    # the whole-stage-codegen classes the timed run reuses.  These are
+    # per-JVM fixed costs, identical in absolute seconds at every width,
+    # that a steady-state cluster job amortizes to zero; leaving them in
+    # the timed window biases the EFFICIENCY RATIO against the wide leg
+    # (Amdahl: a width-independent constant is a larger share of a
+    # smaller wall).  Task-metric totals are snapshotted after the warmup
+    # and subtracted so the decomposition covers the timed run only.
+    dedup_pages(spark, pages.limit(2000), workdir + "_warm",
+                checkpoint="memory").count()
+    m0 = driver_stage_metrics(spark)
     load0 = os.getloadavg()[0]
     cpu0 = _tree_cpu_sec()
     t0 = time.time()
@@ -106,6 +118,15 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
     # quiet host ⇒ the job itself went serial — the artifact now separates
     # the two failure modes that a bare wall-clock number conflates.
     cpu = _tree_cpu_sec() - cpu0
+    # task-level decomposition (run − cpu − gc ≈ descheduled/stalled-on-
+    # core time, the contention signal); {} if the REST API was
+    # unreachable.  Warmup stages are subtracted out via the m0 snapshot.
+    m1 = driver_stage_metrics(spark)
+    metrics = {
+        k: round(m1[k] - m0.get(k, 0), 1) if isinstance(m1[k], float)
+        else m1[k] - m0.get(k, 0)
+        for k in m1
+    }
     print(
         json.dumps(
             {
@@ -118,10 +139,7 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
                 "cpu_util": round(cpu / (wall * cores), 3),
                 "load_before": round(load0, 2),
                 "load_after": round(os.getloadavg()[0], 2),
-                # task-level decomposition (run − cpu − gc ≈ descheduled/
-                # stalled-on-core time, the contention signal); {} if the
-                # REST API was unreachable
-                **driver_stage_metrics(spark),
+                **metrics,
             }
         )
     )
