@@ -678,6 +678,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pages_dedup_fixture_e2e"] = pages_dedup_fixture_e2e
 
+    # ---- repetition / duplicated-passage quality signals (LLM-pipeline
+    # extension; Gopher §A1.1 / Dolma-style corpus-wide dup content) ----
+
+    def repetition_signals_q(spark, sf_dir):
+        from gencore_spark.operators.textstats import repetition_signals
+
+        return repetition_signals(_t(spark, sf_dir, "documents"))
+
+    q["repetition_signals"] = repetition_signals_q
+
+    def dup_passage_frac_q(spark, sf_dir):
+        from gencore_spark.operators.textstats import duplicate_passage_frac
+
+        return duplicate_passage_frac(_t(spark, sf_dir, "documents"), n=8)
+
+    q["dup_passage_frac"] = dup_passage_frac_q
+
     return q
 
 
@@ -918,6 +935,67 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred,
                    count(*) AS n_docs
             FROM h GROUP BY 1
+        """,
+        "repetition_signals": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN
+                       [ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                        FOR i IN range(len(ws) - 2)]
+                     ELSE [] END AS tgs,
+                     CASE WHEN len(ws) >= 2 THEN
+                       [ws[i+1] || ' ' || ws[i+2] FOR i IN range(len(ws) - 1)]
+                     ELSE [] END AS bgs
+              FROM w
+            ),
+            bgc AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (SELECT doc_id, unnest(bgs) AS bg FROM g)
+              GROUP BY 1, 2
+            ),
+            bga AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb
+                    FROM bgc GROUP BY 1)
+            SELECT g.doc_id,
+                   round(CASE WHEN len(tgs) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(tgs))
+                                    / CAST(len(tgs) AS DOUBLE) END,
+                         6) AS dup_trigram_frac,
+                   round(coalesce(CAST(mx AS DOUBLE) / nb, 0.0), 6)
+                     AS top_bigram_frac
+            FROM g LEFT JOIN bga USING (doc_id)
+        """,
+        "dup_passage_frac": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 8 THEN
+                       list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                                      ws[i+3] || ' ' || ws[i+4] || ' ' ||
+                                      ws[i+5] || ' ' || ws[i+6] || ' ' ||
+                                      ws[i+7] || ' ' || ws[i+8]
+                                      FOR i IN range(len(ws) - 7)])
+                     ELSE [] END AS gs
+              FROM w
+            ),
+            e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            dpg AS (SELECT gram, count(*) AS nd FROM e GROUP BY 1),
+            agg AS (
+              SELECT e.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+              FROM e JOIN dpg USING (gram) GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                   round(coalesce(CAST(n_dup AS DOUBLE) / n_grams, 0.0), 6)
+                     AS dup_passage_frac
+            FROM g LEFT JOIN agg USING (doc_id)
         """,
         "connected_components": """
             WITH RECURSIVE

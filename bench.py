@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "connected_components",
     "token_counts",
     "quality_features",
+    "repetition_signals",
+    "dup_passage_frac",
     "ann_cosine_topk",
     "revenue_by_priority",
     "top_event_per_user",

@@ -118,6 +118,131 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select("doc_id", pred.otherwise(F.lit("und")).alias("lang_pred"))
 
 
+# ------------------------------------------------------ repetition signals
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (JVM-side higher-order funcs).
+
+    Empty array when the doc has fewer than ``n`` words — guarded because
+    ``F.sequence(0, -1)`` would produce a DESCENDING sequence, not [].
+    """
+    n_grams = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), n_grams - 1)
+    gram = lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
+    return F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, gram)
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition features (Rae et al. 2021 §A1.1):
+
+    * ``dup_trigram_frac`` — fraction of the doc's word trigram occurrences
+      that are repeats of an earlier trigram (1 - distinct/total);
+    * ``top_bigram_frac`` — fraction of the doc's word bigram occurrences
+      taken by its single most frequent bigram.
+
+    High values flag boilerplate/spam ("lorem lorem lorem...") that n-gram
+    LMs otherwise overweight.  Trigram dedup stays fully inside one row
+    (array higher-order functions, no shuffle); the bigram mode needs a
+    per-(doc, bigram) count — one hash aggregation keyed on doc_id, the
+    same shape at any corpus size.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    tgs = _word_ngrams(words, 3)
+    # the trigram feature rides along through both aggregations (it is
+    # functionally determined by doc_id) so no self-join / base recompute
+    # is needed — one aggregation chain keyed on doc_id end to end
+    exploded = df.select(
+        "doc_id",
+        F.round(
+            F.when(F.size(tgs) <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(tgs)) / F.size(tgs).cast("double")
+            ),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.explode_outer(_word_ngrams(words, 2)).alias("bg"),
+    )
+    return (
+        exploded.groupBy("doc_id", "bg")
+        .agg(
+            F.first("dup_trigram_frac").alias("dup_trigram_frac"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("dup_trigram_frac").alias("dup_trigram_frac"),
+            F.max(F.when(F.col("bg").isNull(), 0).otherwise(F.col("c"))).alias("mx"),
+            F.sum(F.when(F.col("bg").isNull(), 0).otherwise(F.col("c"))).alias("nb"),
+        )
+        .select(
+            "doc_id",
+            "dup_trigram_frac",
+            F.round(
+                F.when(F.col("nb") <= 0, F.lit(0.0)).otherwise(
+                    F.col("mx") / F.col("nb").cast("double")
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def duplicate_passage_frac(
+    df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Corpus-wide duplicated-passage signal (Dolma/RedPajama-style): for
+    each document, the fraction of its DISTINCT word ``n``-grams that also
+    occur in at least one OTHER document.
+
+    Unlike :func:`repetition_signals` this is a global property — the
+    aggregation is keyed on the n-gram across the whole corpus.  The
+    n-grams are folded to ``xxhash64`` before the shuffle so ~50-byte
+    passage strings never move (same 64-bit-key adjudication as
+    ``exact.with_doc_ids``: at 10^12 distinct grams the birthday bound
+    expects ~3e4 colliding pairs, i.e. a <1e-7 relative error on a
+    filter *signal* — acceptable where it would not be for an id).
+
+    Returns (doc_id, n_grams, dup_passage_frac); docs shorter than ``n``
+    words have n_grams = 0 and frac 0.0.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = df.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(_word_ngrams(words, n))
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        # xxhash64(NULL) yields the SEED (42), not NULL — an unguarded hash
+        # would give every <n-word doc the same phantom gram and flag them
+        # all as mutual duplicates
+        F.when(F.col("gram").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("gram"))
+        .alias("g"),
+    )
+    # one hash-partitioned count per distinct gram; broadcast never needed
+    docs_per_gram = grams.where(F.col("g").isNotNull()).groupBy("g").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    flagged = grams.join(docs_per_gram, "g", "left").groupBy("doc_id").agg(
+        F.count(F.col("g")).alias("n_grams"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup"),
+    )
+    return flagged.select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.when(F.col("n_grams") <= 0, F.lit(0.0)).otherwise(
+                F.col("n_dup") / F.col("n_grams").cast("double")
+            ),
+            6,
+        ).alias("dup_passage_frac"),
+    )
+
+
 # --------------------------------------------------------- fingerprinting
 
 

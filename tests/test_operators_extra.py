@@ -496,3 +496,68 @@ def test_ivf_build_probe_split(spark, tmp_path):
     assert sorted(map(tuple, probed.collect())) == sorted(
         map(tuple, wrapper.collect())
     )
+
+
+def test_repetition_signals_constructed(spark):
+    """Gopher-style repetition features on hand-computable docs."""
+    from gencore_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, trigrams: 4 total / "a b a","b a b","a b a","b a b"
+            # -> 2 distinct -> dup_trigram 0.5; bigrams: a b x3, b a x2
+            # -> top_bigram 3/5
+            (0, "a b a b a b"),
+            # all-distinct words: no repeats at all
+            (1, "one two three four five"),
+            (2, ""),          # empty -> both 0
+            (3, "solo"),      # 1 word -> no bigrams/trigrams -> both 0
+            (4, "x y"),       # 1 bigram -> top_bigram 1.0, trigram 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[0]["dup_trigram_frac"] == 0.5
+    assert got[0]["top_bigram_frac"] == 0.6
+    assert got[1]["dup_trigram_frac"] == 0.0
+    # 4 distinct bigrams, each once -> modal share 1/4
+    assert got[1]["top_bigram_frac"] == 0.25
+    for d in (2, 3):
+        assert got[d]["dup_trigram_frac"] == 0.0
+        assert got[d]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_trigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 1.0
+
+
+def test_duplicate_passage_frac_constructed(spark):
+    """Corpus-wide dup-passage fraction with a planted shared passage."""
+    from gencore_spark.operators.textstats import duplicate_passage_frac
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"          # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tailA0 tailA1"),      # 3 grams, 1 shared
+            (1, shared),                          # 1 gram, shared
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),   # 2 grams, unique
+            (3, "short doc"),                     # < 8 words -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_passage_frac(docs, n=8).collect()}
+    assert (got[0]["n_grams"], got[0]["dup_passage_frac"]) == (3, round(1 / 3, 6))
+    assert (got[1]["n_grams"], got[1]["dup_passage_frac"]) == (1, 1.0)
+    assert (got[2]["n_grams"], got[2]["dup_passage_frac"]) == (2, 0.0)
+    assert (got[3]["n_grams"], got[3]["dup_passage_frac"]) == (0, 0.0)
+
+
+def test_repetition_signals_plan_is_jvm_only(spark):
+    """No Python/Arrow eval in either new signal — pure JVM plans."""
+    from gencore_spark.operators.textstats import (
+        duplicate_passage_frac,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for df in (repetition_signals(docs), duplicate_passage_frac(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEval" not in plan and "BatchEval" not in plan
