@@ -101,8 +101,20 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
     # (Amdahl: a width-independent constant is a larger share of a
     # smaller wall).  Task-metric totals are snapshotted after the warmup
     # and subtracted so the decomposition covers the timed run only.
-    dedup_pages(spark, pages.limit(2000), workdir + "_warm",
-                checkpoint="memory").count()
+    if os.environ.get("SPARK_GRAFT_SKIP_WARMUP") != "1":
+        warm = dedup_pages(spark, pages.limit(2000), workdir + "_warm",
+                           checkpoint="memory")
+        warm.count()
+        # drop every JVM-side trace of the warmup before the timed window:
+        # localCheckpoint blocks / broadcasts are freed via ContextCleaner
+        # only after the Python refs are collected, and lingering storage
+        # blocks shrink the unified pool the timed run executes in
+        del warm
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
     m0 = driver_stage_metrics(spark)
     load0 = os.getloadavg()[0]
     cpu0 = _tree_cpu_sec()
