@@ -218,6 +218,13 @@ class DedupPipeline:
                     n_capped_buckets=int(row["capped"] or 0),
                     max_bucket_size=row["biggest"],
                 )
+            else:
+                # s3 resumed from its snapshot, so the bucket stats were
+                # never recomputed this run — but this run REWRITES
+                # REPORT.json, and silently dropping the skew counters from
+                # the report would read as "no buckets were capped".  Carry
+                # the prior run's record forward, marked as such.
+                self._carry_bucket_stats()
         finally:
             # cache lifetime is exactly this run, success or not
             for bs in bucket_stats_holder:
@@ -267,6 +274,26 @@ class DedupPipeline:
         return canonical
 
     # -- reporting ----------------------------------------------------------
+
+    def _carry_bucket_stats(self) -> None:
+        """Re-record the previous run's ``s3_buckets`` counters when s3 was
+        resumed from snapshot (stats are a side effect of building s3)."""
+        import json
+
+        prior_path = os.path.join(self.workdir, "REPORT.json")
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f).get("stages", {}).get("s3_buckets")
+        except (OSError, ValueError):
+            return
+        if prior:
+            counters = {
+                k: v
+                for k, v in prior.items()
+                if k not in ("t_elapsed_sec", "carried_from_prior_run")
+            }
+            self.report.stage("s3_buckets", carried_from_prior_run=True,
+                              **counters)
 
     def _recorded_rows(self, name: str, df) -> int:
         """Row count from the stage record when available (saves a job —

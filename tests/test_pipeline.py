@@ -111,6 +111,11 @@ def test_resume_skips_all_stages(spark, run):
         and "resumed" in st
     )
     assert out2.count() == canonical.count()
+    # a resume rewrites REPORT.json without rebuilding s3 — the skew
+    # counters must survive (carried from the prior run's report)
+    buckets = pipe2.report.stages["s3_buckets"]
+    assert buckets["carried_from_prior_run"] is True
+    assert buckets["n_capped_buckets"] >= 1
 
 
 def test_report_written(run):
