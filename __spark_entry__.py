@@ -695,6 +695,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_passage_frac"] = dup_passage_frac_q
 
+    # ---- line-level boilerplate dedup + URL refetch collapse (webtext
+    # ingest ops: CCNet-style line dedup; canonical-URL keep-latest) ----
+
+    def line_dedup_docs(spark, sf_dir):
+        # corpus with planted boilerplate: a header on every doc, a footer
+        # on every even doc — line_dedup must evict both and keep each
+        # doc's (pairwise-distinct, pinned by test_entry_oracles) body
+        from gencore_spark.operators.lines import line_dedup
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("Accept all cookies"),
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("(c) ex.org crawl")),
+            ).alias("text"),
+        )
+        return line_dedup(d)
+
+    q["line_dedup_docs"] = line_dedup_docs
+
+    def url_dedup_canonical(spark, sf_dir):
+        # three fetch spellings per resource (tracking params + default
+        # port + fragment vs clean; later clean refetch must win) plus an
+        # independent resource on every 4th doc
+        from gencore_spark.operators.urldedup import url_dedup
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+
+        def fetch(src, prefix, mid, suffix, ts_off):
+            did = F.col("doc_id").cast("string")
+            return src.select(
+                F.concat(F.lit(prefix), did, F.lit(mid), did, F.lit(suffix))
+                .alias("url"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.col("doc_id") + F.lit(ts_off)
+                ).alias("warc_ts"),
+            )
+
+        a = fetch(d, "https://EX.org:443/d", "?utm_source=tw&id=", "#top", 0)
+        b = fetch(d, "https://ex.org/d", "?id=", "", 10)
+        c = fetch(
+            d.filter(F.col("doc_id") % 4 == 0), "http://ex.org:80/e", "?v=", "", 0
+        )
+        out = url_dedup(a.unionByName(b).unionByName(c))
+        # epoch micros, not timestamp: the driver's sort-based comparator
+        # is only exercised on numeric/string columns by the other queries
+        return out.select(
+            "canonical_url", "url", F.unix_micros("warc_ts").alias("warc_ts_us")
+        )
+
+    q["url_dedup_canonical"] = url_dedup_canonical
+
     return q
 
 
@@ -996,6 +1050,99 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(CAST(n_dup AS DOUBLE) / n_grams, 0.0), 6)
                      AS dup_passage_frac
             FROM g LEFT JOIN agg USING (doc_id)
+        """,
+        "line_dedup_docs": r"""
+            WITH corp AS (
+              SELECT doc_id,
+                     'Accept all cookies' || chr(10) || text ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || '(c) ex.org crawl' ELSE '' END
+                       AS text
+              FROM documents
+            ),
+            w AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corp),
+            l AS (SELECT doc_id,
+                         unnest([{'pos': i, 'line': ls[i + 1]}
+                                 FOR i IN range(len(ls))]) AS s
+                  FROM w),
+            ne AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l
+                   WHERE len(trim(s.line)) > 0),
+            nd AS (SELECT trim(line) AS k, count(DISTINCT doc_id) AS ndocs
+                   FROM ne GROUP BY 1),
+            j AS (SELECT ne.doc_id, ne.pos, ne.line, nd.ndocs
+                  FROM ne JOIN nd ON trim(ne.line) = nd.k),
+            agg AS (
+              SELECT doc_id,
+                     coalesce(
+                       string_agg(line, chr(10) ORDER BY pos)
+                         FILTER (WHERE ndocs < 2), '') AS text_dedup,
+                     count(*) AS n_lines,
+                     sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_removed
+              FROM j GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(a.text_dedup, '') AS text_dedup,
+                   CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "url_dedup_canonical": r"""
+            WITH fetches AS (
+              SELECT 'https://EX.org:443/d' || doc_id ||
+                     '?utm_source=tw&id=' || doc_id || '#top' AS url,
+                     to_timestamp(1700000000 + doc_id) AS warc_ts
+              FROM documents
+              UNION ALL
+              SELECT 'https://ex.org/d' || doc_id || '?id=' || doc_id,
+                     to_timestamp(1700000000 + doc_id + 10)
+              FROM documents
+              UNION ALL
+              SELECT 'http://ex.org:80/e' || doc_id || '?v=' || doc_id,
+                     to_timestamp(1700000000 + doc_id)
+              FROM documents WHERE doc_id % 4 = 0
+            ),
+            c1 AS (SELECT url, warc_ts,
+                          regexp_replace(url, '#.*', '') AS u
+                   FROM fetches),
+            c2 AS (SELECT *, lower(regexp_extract(u,
+                       '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)', 1)) AS head0
+                   FROM c1),
+            c3 AS (SELECT *,
+                          CASE WHEN starts_with(head0, 'http://')
+                                    AND ends_with(head0, ':80')
+                               THEN substr(head0, 1, len(head0) - 3)
+                               WHEN starts_with(head0, 'https://')
+                                    AND ends_with(head0, ':443')
+                               THEN substr(head0, 1, len(head0) - 4)
+                               ELSE head0 END AS head,
+                          substr(u, len(head0) + 1) AS rest
+                   FROM c2),
+            c4 AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path,
+                          CASE WHEN len(rest) > len(regexp_extract(rest,
+                                 '^([^?]*)', 1))
+                               THEN substr(rest, len(regexp_extract(rest,
+                                 '^([^?]*)', 1)) + 2)
+                               ELSE '' END AS q
+                   FROM c3),
+            c5 AS (SELECT *, array_to_string(list_filter(
+                            string_split(q, '&'),
+                            p -> NOT (starts_with(p, 'utm_')
+                                   OR starts_with(p, 'fbclid=') OR p = 'fbclid'
+                                   OR starts_with(p, 'gclid=') OR p = 'gclid'
+                                   OR starts_with(p, 'msclkid=') OR p = 'msclkid'
+                                   OR p = '')), '&') AS q2
+                   FROM c4),
+            canon AS (SELECT url, warc_ts,
+                             head || path ||
+                             CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+                               AS canonical_url
+                      FROM c5),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY canonical_url
+                      ORDER BY warc_ts DESC, url ASC) AS rn
+                  FROM canon)
+            SELECT canonical_url, url, epoch_us(warc_ts) AS warc_ts_us
+            FROM r WHERE rn = 1
         """,
         "connected_components": """
             WITH RECURSIVE

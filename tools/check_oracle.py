@@ -30,12 +30,18 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
+        elif str(pdf[c].dtype).startswith("datetime"):
+            # FIRST: tz-aware dtypes (DuckDB returns datetime64[us, Etc/UTC])
+            # crash np.issubdtype, so they never reach the branch below
+            pdf[c] = (
+                pdf[c].dt.tz_localize(None)
+                if getattr(pdf[c].dtype, "tz", None) is not None
+                else pdf[c]
+            ).astype("datetime64[us]").astype(str)
         elif np.issubdtype(pdf[c].dtype, np.floating):
             pdf[c] = pdf[c].astype(np.float64).round(9)
         elif np.issubdtype(pdf[c].dtype, np.integer):
             pdf[c] = pdf[c].astype(np.int64)
-        elif str(pdf[c].dtype).startswith("datetime"):
-            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
 
 
