@@ -51,6 +51,16 @@ of a previous :func:`gencore_spark.dedup_pages` (or incremental) run; the
 updated snapshots are written to ``out_dir`` (the old state is never
 mutated — snapshot-in/snapshot-out, the Iceberg model), which is itself a
 valid state for the next delta.
+
+I/O cost note: each updated table is expressed as ``old ∪ delta``.  Under
+an Iceberg catalog that union is an O(delta) metadata append — the new
+snapshot shares the old data files (``writeTo(...).append()`` on a
+branched table; only computing the delta rows costs work).  The sandbox's
+directory-of-parquet fallback has no shared-file snapshots, so there the
+union physically rewrites the table — O(corpus) sequential I/O per delta,
+narrow (no shuffle), a sandbox artifact of the fallback, not the model.
+Every OTHER cost in this job — signatures, bucketing, verify, CC, vote —
+is O(delta + touched), which is the point.
 """
 
 from __future__ import annotations
