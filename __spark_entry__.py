@@ -749,6 +749,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_dedup_canonical"] = url_dedup_canonical
 
+    # ---- corpus splitting + token-budget shard packing (training-data
+    # pipeline tail: deterministic splits, fixed-token shards) ----
+
+    def hash_split_docs(spark, sf_dir):
+        from gencore_spark.operators.packing import hash_split
+
+        return hash_split(_t(spark, sf_dir, "documents").select("doc_id"))
+
+    q["hash_split_docs"] = hash_split_docs
+
+    def token_shard_packing(spark, sf_dir):
+        from gencore_spark.operators.packing import pack_into_token_shards
+        from gencore_spark.operators.textstats import token_count
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_into_token_shards(d, token_budget=2000)
+
+    q["token_shard_packing"] = token_shard_packing
+
     return q
 
 
@@ -1143,6 +1164,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM canon)
             SELECT canonical_url, url, epoch_us(warc_ts) AS warc_ts_us
             FROM r WHERE rn = 1
+        """,
+        "hash_split_docs": """
+            SELECT doc_id,
+                   CASE WHEN b < 9800 THEN 'train'
+                        WHEN b < 9900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                          * 2654435761) % 4294967296 % 10000 AS b
+                  FROM documents)
+        """,
+        "token_shard_packing": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY n_tokens DESC,
+                                             doc_id ASC
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+            FROM c
         """,
         "connected_components": """
             WITH RECURSIVE

@@ -1,0 +1,129 @@
+"""Corpus splitting and token-budget shard packing.
+
+Two operators a pretraining-data pipeline runs after cleaning/dedup:
+
+* :func:`hash_split` — deterministic train/val/test assignment.  Every doc
+  lands in exactly one split, the assignment is a pure function of the doc
+  id (stable across reruns, partitionings, and cluster sizes — the
+  property that matters; a ``rand()`` split changes under retry).
+* :func:`pack_into_token_shards` — assign docs to fixed-token-budget
+  shards (the unit a trainer streams).  Requires a GLOBAL running total
+  over an explicit total order — the textbook distributed prefix-sum:
+  range-partition on the order key, partition-local window cumsum, then
+  add per-partition offsets (a driver-side array of ``P`` numbers, not a
+  single-task global window — ``sum() OVER (ORDER BY ...)`` with no
+  partition key collapses Spark to ONE task and is the anti-pattern this
+  operator exists to avoid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Knuth multiplicative hash, 32-bit golden ratio.  Chosen over xxhash64
+# ONLY because the split must be recomputable in plain SQL by the DuckDB
+# oracle (no xxhash there); the id is folded to 31 bits first so the
+# product stays inside int64 under ANSI overflow checking.  A deployment
+# keyed on adversarial ids would swap in F.xxhash64 — one line.
+_KNUTH = 2654435761
+_SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from an integer id."""
+    folded = F.pmod(id_col, F.lit(2_147_483_648))
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32)) % _SPLIT_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a ``split`` column partitioning the corpus by ``weights``
+    (default 98/1/1 train/val/test).  Buckets are contiguous ranges of
+    ``split_bucket``, so proportions are exact to 1/10000 and every doc
+    maps to exactly one split.  Narrow (no shuffle, no Python)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = split_bucket(F.col(id_col))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * _SPLIT_BUCKETS
+        branch = F.when(bucket < int(round(acc)), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            bucket < int(round(acc)), F.lit(name)
+        )
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", split)
+
+
+def pack_into_token_shards(
+    df: DataFrame,
+    token_budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each doc a ``shard_id`` so consecutive docs (in the fixed
+    order: ``size_col`` DESC, ``id_col`` ASC) fill ~``token_budget`` tokens
+    per shard: ``shard_id = floor(running_total_before_doc / budget)``.
+
+    A doc larger than the budget gets a shard to itself (the next doc
+    starts a new shard).  Deterministic for any partitioning because the
+    order is total and the prefix sum is exact.
+
+    Scale shape — distributed prefix sum:
+
+    1. ``repartitionByRange`` on the order key (P parallel sorted ranges);
+    2. window cumsum *within* each range partition (parallel — the window
+       is keyed on ``spark_partition_id``, never a global ORDER BY);
+    3. per-partition totals → P-row collect → cumulative offsets rejoined
+       as a tiny broadcast.
+
+    The only driver-side data is one number per partition.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(size_col).desc(), F.col(id_col).asc()]
+    # cache: the partition-id column must be IDENTICAL in the totals job
+    # and the cumsum job; caching pins one materialization of the range
+    # partitioning for both
+    ranged = (
+        df.select(id_col, size_col)
+        .repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    local = ranged.withColumn(
+        "_cum_in_part", F.sum(size_col).over(w)
+    )
+    totals = (
+        ranged.groupBy("_pid").agg(F.sum(size_col).alias("_tot"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_tot"] or 0
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum", F.col("_cum_in_part") + F.col("_off"))
+        .select(
+            id_col,
+            F.col(size_col).cast("long").alias(size_col),
+            # integer DIV, not floor(double /): a double is exact only to
+            # 2^53 and the running total is corpus-sized
+            F.expr(
+                f"(_cum - cast({size_col} AS BIGINT)) DIV {int(token_budget)}"
+            ).cast("long").alias("shard_id"),
+        )
+    )
+    return out
