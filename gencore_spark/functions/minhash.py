@@ -104,7 +104,6 @@ def signatures_many(
         return sigs, fps
     max_m = min(max((s.shape[0] for s in sets), default=1), _CHUNK_ROWS)
     buf = np.empty((max(max_m, 1), num_perms), dtype=np.uint64)
-    bitbuf = np.empty((max(max_m, 1), 64), dtype=np.uint64)
     votes = np.empty(64, dtype=np.int64)
     with np.errstate(over="ignore"):
         for i, s in enumerate(sets):
@@ -118,9 +117,16 @@ def signatures_many(
                 np.multiply(chunk[:, None], a[None, :], out=buf[:c])
                 buf[:c] += b[None, :]
                 np.minimum(sigs[i], buf[:c].min(axis=0), out=sigs[i])
-                np.right_shift(chunk[:, None], bits[None, :], out=bitbuf[:c])
-                np.bitwise_and(bitbuf[:c], np.uint64(1), out=bitbuf[:c])
-                votes += bitbuf[:c].sum(axis=0, dtype=np.int64)
+                # bit votes via unpackbits on the little-endian uint8 view:
+                # (c, 64) uint8 in one pass vs the shift/mask (c, 64) uint64
+                # 3-sweep — 8x less scratch traffic (2.6x on the vote step,
+                # ~1.25x whole-kernel, interleaved A/B) on this bandwidth-
+                # starved host; votes are bit-identical (bitorder='little'
+                # makes column j = bit j of the uint64).
+                unpacked = np.unpackbits(
+                    chunk.view(np.uint8).reshape(c, 8), axis=1, bitorder="little"
+                )
+                votes += unpacked.sum(axis=0, dtype=np.int64)
             fps[i] = (((2 * votes) > m).astype(np.uint64) << bits).sum(
                 dtype=np.uint64
             )
