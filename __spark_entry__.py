@@ -770,6 +770,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_shard_packing"] = token_shard_packing
 
+    # ---- decontamination / PII scrub / vocabulary (training-data
+    # pipeline ops: eval-leak guard, PII flagging, corpus stats) ----
+
+    def decontam_flags(spark, sf_dir):
+        # eval set = every doc with doc_id % 41 == 3; a training doc is
+        # contaminated iff it shares one 8-word-gram with any eval doc
+        # (GPT-3-style n-gram decontamination, n scaled to corpus size)
+        from gencore_spark.operators.decontam import contamination_flags
+
+        d = _t(spark, sf_dir, "documents")
+        return contamination_flags(d, d.filter(F.col("doc_id") % 41 == 3), n=8)
+
+    q["decontam_flags"] = decontam_flags
+
+    def pii_scrub_signals(spark, sf_dir):
+        # synthetic corpus carries no PII, so every 7th doc gets a
+        # deterministic email + IPv4 + phone appended INSIDE the query
+        # (the oracle appends the identical bytes) — the operator is then
+        # exercised on non-trivial positives and true negatives alike
+        from gencore_spark.operators.pii import pii_signals
+
+        d = _t(spark, sf_dir, "documents")
+        did = F.col("doc_id").cast("string")
+        injected = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact u"), did,
+                    F.lit("@mail.example.com or 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".5 tel +1 555 01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit(" 4242"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return pii_signals(injected)
+
+    q["pii_scrub_signals"] = pii_scrub_signals
+
+    def vocab_top100(spark, sf_dir):
+        from gencore_spark.operators.textstats import vocab_topk
+
+        return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+    q["vocab_top100"] = vocab_top100
+
     return q
 
 
@@ -1434,6 +1483,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN stats s ON s.cid = cn.cid
             JOIN members mb ON mb.url = cn.url
             JOIN rrc ON rrc.cid = cn.cid
+        """,
+        "decontam_flags": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 8 THEN
+                       list_distinct([ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                                      ws[i+3] || ' ' || ws[i+4] || ' ' ||
+                                      ws[i+5] || ' ' || ws[i+6] || ' ' ||
+                                      ws[i+7] || ' ' || ws[i+8]
+                                      FOR i IN range(len(ws) - 7)])
+                     ELSE [] END AS gs
+              FROM w
+            ),
+            ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                   WHERE doc_id % 41 = 3),
+            e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM e JOIN ev USING (gram) GROUP BY 1)
+            SELECT g.doc_id,
+                   CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(n_hits, 0) > 0 AS contaminated
+            FROM g LEFT JOIN hits USING (doc_id)
+        """,
+        "pii_scrub_signals": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.5 tel +1 555 01'
+                            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                            || ' 4242'
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}'))
+                     AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IPV4>', 'g'),
+                     '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}',
+                     '<PHONE>', 'g')) AS redacted_md5
+            FROM injected
+        """,
+        "vocab_top100": r"""
+            WITH t AS (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM t WHERE length(word) > 0
+            GROUP BY 1
+            ORDER BY n_occurrences DESC, word ASC
+            LIMIT 100
         """,
     }
     # The incremental-consolidation e2e must be indistinguishable from a

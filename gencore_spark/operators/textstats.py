@@ -121,7 +121,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------------------ repetition signals
 
 
-def _word_ngrams(words: Column, n: int) -> Column:
+def word_ngrams(words: Column, n: int) -> Column:
     """Array of space-joined word n-grams (JVM-side higher-order funcs).
 
     Empty array when the doc has fewer than ``n`` words — guarded because
@@ -151,7 +151,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     words = F.split(F.trim(t), r"\s+")
-    tgs = _word_ngrams(words, 3)
+    tgs = word_ngrams(words, 3)
     # the trigram feature rides along through both aggregations (it is
     # functionally determined by doc_id) so no self-join / base recompute
     # is needed — one aggregation chain keyed on doc_id end to end
@@ -163,7 +163,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
             6,
         ).alias("dup_trigram_frac"),
-        F.explode_outer(_word_ngrams(words, 2)).alias("bg"),
+        F.explode_outer(word_ngrams(words, 2)).alias("bg"),
     )
     return (
         exploded.groupBy("doc_id", "bg")
@@ -212,7 +212,7 @@ def duplicate_passage_frac(
     grams = df.select(
         "doc_id",
         F.explode_outer(
-            F.array_distinct(_word_ngrams(words, n))
+            F.array_distinct(word_ngrams(words, n))
         ).alias("gram"),
     ).select(
         "doc_id",
@@ -260,3 +260,29 @@ def fingerprint_udf(k: int = 8):
         return pd.Series(out)
 
     return _fp
+
+
+# ------------------------------------------------------------ vocabulary
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-``k`` word frequencies (deterministic order).
+
+    The tokenizer-building / corpus-stats primitive: explode whitespace
+    tokens, one map-side-combined hash aggregation on the word, then a
+    global top-k.  Ties are broken by the word itself so the result set is
+    a pure function of the corpus.  At 100 TB the explode is a flatMap
+    (no shuffle), the aggregation shuffles only (word, partial-count)
+    pairs, and the top-k is a TakeOrdered over |vocab| rows, not |tokens|.
+    """
+    words = F.explode(
+        F.split(F.trim(F.col(text_col)), _TOKEN_SPLIT)
+    ).alias("word")
+    return (
+        df.select(words)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+        .limit(k)
+    )
