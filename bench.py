@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "quality_features",
     "repetition_signals",
     "dup_passage_frac",
+    "decontam_flags",
+    "pii_scrub_signals",
     "ann_cosine_topk",
     "revenue_by_priority",
     "top_event_per_user",
