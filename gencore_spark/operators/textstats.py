@@ -149,13 +149,26 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-(doc, bigram) count — one hash aggregation keyed on doc_id, the
     same shape at any corpus size.
     """
-    t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
-    tgs = word_ngrams(words, 3)
+    # Materialize `words` and the gram arrays as attributes in their own
+    # projections.  Higher-order functions (transform) are CodegenFallback:
+    # the lambda body is interpreted PER ELEMENT, so an inlined
+    # split(trim(text)) inside the gram lambda re-runs the regex split for
+    # every F.get — and `tgs` inlined three times into the frac expression
+    # multiplies that again.  Measured: 122s → ~2s at sf0.01 (6k docs).
+    # CollapseProject keeps these projections separate because each alias
+    # is referenced more than once and is not cheap.
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    wdf = df.select("doc_id", words.alias("words"))
+    gdf = wdf.select(
+        "doc_id",
+        word_ngrams(F.col("words"), 3).alias("tgs"),
+        word_ngrams(F.col("words"), 2).alias("bgs"),
+    )
+    tgs = F.col("tgs")
     # the trigram feature rides along through both aggregations (it is
     # functionally determined by doc_id) so no self-join / base recompute
     # is needed — one aggregation chain keyed on doc_id end to end
-    exploded = df.select(
+    exploded = gdf.select(
         "doc_id",
         F.round(
             F.when(F.size(tgs) <= 0, F.lit(0.0)).otherwise(
@@ -163,7 +176,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
             6,
         ).alias("dup_trigram_frac"),
-        F.explode_outer(word_ngrams(words, 2)).alias("bg"),
+        F.explode_outer(F.col("bgs")).alias("bg"),
     )
     return (
         exploded.groupBy("doc_id", "bg")
@@ -208,11 +221,13 @@ def duplicate_passage_frac(
     Returns (doc_id, n_grams, dup_passage_frac); docs shorter than ``n``
     words have n_grams = 0 and frac 0.0.
     """
+    # same CodegenFallback re-evaluation hazard as repetition_signals:
+    # bind `words` to an attribute before the gram lambda touches it
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = df.select(
+    grams = df.select("doc_id", words.alias("words")).select(
         "doc_id",
         F.explode_outer(
-            F.array_distinct(word_ngrams(words, n))
+            F.array_distinct(word_ngrams(F.col("words"), n))
         ).alias("gram"),
     ).select(
         "doc_id",
