@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.urlnorm import canonical_url
+from ..functions.urlnorm import with_canonical_url
 
 
 def url_dedup(
@@ -46,8 +46,10 @@ def url_dedup(
         F.col(url_col).alias("tie_url"),
         F.struct(*payload).alias("row"),
     )
+    # staged form: every crawl record passes through here, and the Column
+    # form re-runs its regexes at each of ~8 interpreted references
     return (
-        df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        with_canonical_url(df, url_col)
         .groupBy("canonical_url")
         .agg(F.min(key).alias("w"))
         .select("canonical_url", *[F.col(f"w.row.{c}").alias(c) for c in payload])

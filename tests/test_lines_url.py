@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from gencore_spark.functions.urlnorm import canonical_url
+from gencore_spark.functions.urlnorm import canonical_url, with_canonical_url
 from gencore_spark.operators.lines import line_dedup
 from gencore_spark.operators.urldedup import url_dedup
 
@@ -138,3 +138,32 @@ def test_url_dedup_is_partial_aggregable(spark):
     plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+@pytest.mark.parametrize("raw,want", CANON_CASES)
+def test_with_canonical_url_matches_column_form(spark, raw, want):
+    # the staged (attribute-bound) twin must stay byte-identical to the
+    # Column form on every golden case
+    df = spark.range(1).select(F.lit(raw).alias("url"))
+    got = with_canonical_url(df).collect()[0]["canonical_url"]
+    assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
+
+
+def test_with_canonical_url_single_regex_pass(spark):
+    # the staged form exists to bound interpreted re-evaluation: the
+    # de-fragment regex must appear exactly ONCE in the optimized plan.
+    # (If CollapseProject ever starts inlining the multiply-referenced
+    # __cu_u alias, it would appear twice — the regression this pins.)
+    # Input is built from range(id) so constant folding cannot erase it.
+    df = spark.range(4).select(
+        F.concat(
+            F.lit("https://EX.org:443/a?utm_x=1&id="),
+            F.col("id").cast("string"),
+            F.lit("#frag"),
+        ).alias("url")
+    )
+    out = with_canonical_url(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("#.*") == 1, plan
+    rows = sorted(r["canonical_url"] for r in out.collect())
+    assert rows[0] == "https://ex.org/a?id=0"
