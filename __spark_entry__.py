@@ -770,6 +770,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_shard_packing"] = token_shard_packing
 
+    def stratified_sample_langs(spark, sf_dir):
+        # rebalance the corpus by language: keep all en, half de, a tenth
+        # of everything else — deterministic (hash-of-id), so the row set
+        # is identical across reruns/partitionings and the oracle can
+        # recompute it exactly
+        from gencore_spark.operators.packing import stratified_sample
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        return stratified_sample(
+            d, {"en": 1.0, "de": 0.5}, stratum_col="lang", default_rate=0.1
+        )
+
+    q["stratified_sample_langs"] = stratified_sample_langs
+
     # ---- decontamination / PII scrub / vocabulary (training-data
     # pipeline ops: eval-leak guard, PII flagging, corpus stats) ----
 
@@ -1223,6 +1237,16 @@ def oracle_sql() -> dict[str, str]:
                          ((((doc_id % 2147483648) + 2147483648) % 2147483648)
                           * 2654435761) % 4294967296 % 10000 AS b
                   FROM documents)
+        """,
+        "stratified_sample_langs": """
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                          * 2654435761) % 4294967296 % 10000 AS b
+                  FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 10000
+                                WHEN 'de' THEN 5000
+                                ELSE 1000 END
         """,
         "token_shard_packing": r"""
             WITH t AS (

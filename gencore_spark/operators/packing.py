@@ -127,3 +127,42 @@ def pack_into_token_shards(
         )
     )
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    ``split_bucket(id)`` falls under the stratum's rate (in units of
+    1/10000).  The curation step that rebalances a corpus by language /
+    source / quality bucket after dedup.
+
+    Same determinism contract as :func:`hash_split` (pure function of the
+    id — stable across reruns, retries, partitionings, cluster sizes; a
+    ``df.sample``/``rand()`` sample is none of these), and the same
+    SQL-recomputable hash so the operator stays oracle-checkable.  Because
+    the keep decision reuses hash_split's bucket, a sampled corpus keeps
+    its train/val/test proportions within each stratum.
+
+    Scale shape: a narrow filter — no shuffle, no Python.  The rates dict
+    compiles to a literal CASE chain (strata are things like languages:
+    tens of values, far under codegen's 64KB method limit); a rates TABLE
+    of thousands of strata would swap in a broadcast join — one line.
+    """
+    bucket = split_bucket(F.col(id_col))
+    threshold = None
+    for value, rate in rates.items():
+        t = F.when(F.col(stratum_col) == value, F.lit(int(round(rate * _SPLIT_BUCKETS))))
+        threshold = t if threshold is None else threshold.when(
+            F.col(stratum_col) == value, F.lit(int(round(rate * _SPLIT_BUCKETS)))
+        )
+    threshold = (
+        F.lit(int(round(default_rate * _SPLIT_BUCKETS)))
+        if threshold is None
+        else threshold.otherwise(F.lit(int(round(default_rate * _SPLIT_BUCKETS))))
+    )
+    return df.filter(bucket < threshold)

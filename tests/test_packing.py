@@ -101,3 +101,51 @@ def test_pack_no_global_single_task_window(spark):
     # every Window node must carry a partition spec (_pid)
     for frag in plan.split("Window ")[1:]:
         assert "_pid" in frag.split("\n", 1)[0]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from gencore_spark.operators.packing import stratified_sample
+
+    d = (
+        spark.range(0, 30_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "de")
+            .otherwise("zz"),
+        )
+    )
+    rates = {"en": 1.0, "de": 0.5}
+    out = stratified_sample(d, rates, default_rate=0.1)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(d, rates, default_rate=0.1).collect())
+    assert a == b  # pure function of the id
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["en"] == 10_000  # rate 1.0 keeps every row
+    assert abs(got["de"] / 10_000 - 0.5) < 0.03
+    assert abs(got["zz"] / 10_000 - 0.1) < 0.02
+
+
+def test_stratified_sample_keeps_split_proportions(spark):
+    # the sample reuses hash_split's bucket, so sampling then splitting
+    # keeps each stratum's train/val/test ratios (sub-bucket containment:
+    # rate r keeps buckets [0, r*10000), train is [0, 9800))
+    from gencore_spark.operators.packing import hash_split, stratified_sample
+
+    d = spark.range(0, 50_000).withColumnRenamed("id", "doc_id").withColumn("lang", F.lit("en"))
+    s = hash_split(stratified_sample(d, {"en": 0.5}))
+    got = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # buckets < 5000 are all train (train is buckets < 9800)
+    assert set(got) == {"train"}
+
+
+def test_stratified_sample_is_narrow(spark):
+    from gencore_spark.operators.packing import stratified_sample
+
+    d = spark.range(0, 100).withColumnRenamed("id", "doc_id").withColumn("lang", F.lit("en"))
+    plan = (
+        stratified_sample(d, {"en": 0.3})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # a sample must never shuffle
