@@ -784,6 +784,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample_langs"] = stratified_sample_langs
 
+    def corpus_curation_e2e(spark, sf_dir):
+        # the full training-data tail as ONE composition (curation.py):
+        # exact collapse -> line dedup -> quality gate -> decontam ->
+        # stratified sample -> split -> train shard packing.  The corpus
+        # plants one failure mode per stage: +1e7 exact copies of every
+        # 5th doc, header/footer boilerplate on all/even docs, punct+digit
+        # junk line on every 13th doc (unique per doc so LINE dedup keeps
+        # it and the QUALITY gate must do the work), eval side = every
+        # 41st doc's raw text (self-contamination)
+        from gencore_spark.operators.curation import curate_corpus
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("Accept all cookies\n"),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 13 == 7,
+                    F.concat(
+                        F.lit("\n"),
+                        F.repeat(F.lit("?!.,;:0123456789 "), 10),
+                        F.col("doc_id").cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("\n(c) ex.org crawl"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+            "lang",
+        )
+        corp = planted.unionByName(
+            planted.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+            )
+        )
+        return curate_corpus(
+            corp,
+            d.filter(F.col("doc_id") % 41 == 3),
+            sample_rates={"en": 1.0, "de": 0.5},
+            default_rate=0.25,
+            token_budget=500,
+        )
+
+    q["corpus_curation_e2e"] = corpus_curation_e2e
+
     # ---- decontamination / PII scrub / vocabulary (training-data
     # pipeline ops: eval-leak guard, PII flagging, corpus stats) ----
 
@@ -1247,6 +1292,131 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "corpus_curation_e2e": r"""
+            WITH corp0 AS (
+              SELECT doc_id,
+                     'Accept all cookies' || chr(10) || text ||
+                     CASE WHEN doc_id % 13 = 7
+                          THEN chr(10) || repeat('?!.,;:0123456789 ', 10)
+                               || doc_id
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || '(c) ex.org crawl' ELSE '' END
+                       AS text,
+                     lang
+              FROM documents
+            ),
+            corp AS (
+              SELECT doc_id, text, lang FROM corp0
+              UNION ALL
+              SELECT doc_id + 10000000, text, lang FROM corp0
+              WHERE doc_id % 5 = 0
+            ),
+            -- 2. exact collapse: min-id row per byte-identical text
+            ex AS (
+              SELECT doc_id, text, lang FROM (
+                SELECT *, row_number() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                FROM corp) WHERE rn = 1
+            ),
+            -- 3. line dedup (lines in >= 2 distinct docs evicted)
+            w AS (SELECT doc_id, lang, string_split(text, chr(10)) AS ls
+                  FROM ex),
+            l AS (SELECT doc_id, lang,
+                         unnest([{'pos': i, 'line': ls[i + 1]}
+                                 FOR i IN range(len(ls))]) AS s
+                  FROM w),
+            ne AS (SELECT doc_id, lang, s.pos AS pos, s.line AS line FROM l
+                   WHERE len(trim(s.line)) > 0),
+            nd AS (SELECT trim(line) AS k, count(DISTINCT doc_id) AS ndocs
+                   FROM ne GROUP BY 1),
+            jj AS (SELECT ne.doc_id, ne.lang, ne.pos, ne.line, nd.ndocs
+                   FROM ne JOIN nd ON trim(ne.line) = nd.k),
+            ldd AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE ndocs < 2), '') AS text
+              FROM jj GROUP BY doc_id
+            ),
+            -- 4. quality + length gate on the post-boilerplate text
+            g AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(string_split_regex(trim(text), '\s+'))
+                          END AS n_tokens,
+                     round(greatest(1.0
+                       - least(round(length(regexp_replace(text,
+                           '[^.,;:!?]', '', 'g')) / greatest(length(text),
+                           1.0), 6) * 4.0, 0.3)
+                       - least(round(length(regexp_replace(text,
+                           '[^0-9]', '', 'g')) / greatest(length(text),
+                           1.0), 6) * 3.0, 0.3)
+                       - CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE length(string_split_regex(trim(text),
+                              '\s+')) END) < 10 THEN 0.4 ELSE 0.0 END,
+                       0.0), 6) AS quality
+              FROM ldd
+            ),
+            gated AS (SELECT * FROM g
+                      WHERE n_tokens >= 10 AND quality >= 0.5),
+            -- 5. decontam: drop docs sharing an 8-gram with the eval side
+            gw AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS ws
+                   FROM gated),
+            gg AS (SELECT doc_id,
+                          CASE WHEN len(ws) >= 8 THEN
+                            list_distinct([ws[i+1] || ' ' || ws[i+2] || ' '
+                              || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                              || ' ' || ws[i+6] || ' ' || ws[i+7] || ' '
+                              || ws[i+8] FOR i IN range(len(ws) - 7)])
+                          ELSE [] END AS gs
+                   FROM gw),
+            docg AS (SELECT doc_id, unnest(gs) AS gram FROM gg),
+            evw AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents WHERE doc_id % 41 = 3),
+            evg0 AS (SELECT CASE WHEN len(ws) >= 8 THEN
+                              list_distinct([ws[i+1] || ' ' || ws[i+2] || ' '
+                                || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                                || ' ' || ws[i+6] || ' ' || ws[i+7] || ' '
+                                || ws[i+8] FOR i IN range(len(ws) - 7)])
+                            ELSE [] END AS gs
+                     FROM evw),
+            evg AS (SELECT DISTINCT unnest(gs) AS gram FROM evg0),
+            contaminated AS (SELECT DISTINCT doc_id
+                             FROM docg JOIN evg USING (gram)),
+            clean AS (SELECT * FROM gated
+                      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            -- 6./7. stratified sample (en 1.0 / de 0.5 / else 0.25) + split
+            bk AS (SELECT *,
+                          ((((doc_id % 2147483648) + 2147483648)
+                            % 2147483648) * 2654435761)
+                          % 4294967296 % 10000 AS b
+                   FROM clean),
+            samp AS (SELECT * FROM bk
+                     WHERE b < CASE lang WHEN 'en' THEN 10000
+                                         WHEN 'de' THEN 5000
+                                         ELSE 2500 END),
+            sp AS (SELECT doc_id, lang, n_tokens, quality,
+                          CASE WHEN b < 9800 THEN 'train'
+                               WHEN b < 9900 THEN 'val'
+                               ELSE 'test' END AS split
+                   FROM samp),
+            -- 8. pack the train split to 500-token shards
+            tr AS (SELECT doc_id, n_tokens,
+                          sum(n_tokens) OVER (ORDER BY n_tokens DESC,
+                                              doc_id ASC
+                                              ROWS UNBOUNDED PRECEDING)
+                            AS cum
+                   FROM sp WHERE split = 'train'),
+            shard AS (SELECT doc_id,
+                             CAST((cum - n_tokens) // 500 AS BIGINT)
+                               AS shard_id
+                      FROM tr)
+            SELECT sp.doc_id, sp.lang, CAST(sp.n_tokens AS BIGINT)
+                     AS n_tokens,
+                   sp.quality, sp.split, shard.shard_id
+            FROM sp LEFT JOIN shard USING (doc_id)
         """,
         "token_shard_packing": r"""
             WITH t AS (

@@ -1,0 +1,134 @@
+"""End-to-end corpus curation: the training-data tail as ONE composition.
+
+Reference analog: the reference's own pipeline is a fixed composition of
+its stages (read → group → vote → write, ``gencore.cpp:318-390``); this is
+the webtext counterpart, chaining the repo's curation operators in the
+order a pretraining corpus actually needs:
+
+1. **url refetch collapse** (optional — when ``url``/``warc_ts`` present):
+   drop re-crawls before anything text-keyed (`operators/urldedup.py`).
+2. **exact text collapse**: byte-identical copies BEFORE line dedup — a
+   full-document duplicate would otherwise make every one of its lines
+   "corpus-duplicated" and line dedup would erase the content of all
+   copies at once.
+3. **boilerplate line dedup** (CCNet-style, `operators/lines.py`).
+4. **quality + length gate** on the line-deduped text.
+5. **benchmark decontamination**: drop docs sharing an 8-word-gram with
+   the eval side (`operators/decontam.py`).
+6. **stratified sampling**: per-stratum rebalance (`packing.py`).
+7. **train/val/test split** (`packing.py::hash_split`).
+8. **token-budget shard packing** — train split only (the unit a trainer
+   streams); val/test stay unsharded (``shard_id`` NULL).
+
+Near-duplicate clustering (MinHash/SimHash, `dedup_variants.py`) slots in
+between 2 and 3 via ``near_dup=True``; it is off by default here because
+the composition below is exactly SQL-expressible end to end, which is what
+makes ``corpus_curation_e2e`` a checkable oracle row rather than a
+rows-only smoke test.
+
+Scale shape (the part that must survive 1000 executors × 100 TB):
+
+* one text-keyed shuffle (exact collapse: min(struct) argmax — partial
+  aggregable, text moves once);
+* line dedup's line-key aggregation + one id-keyed rejoin;
+* decontamination never shuffles the corpus (eval grams broadcast out,
+  rare hits broadcast back);
+* sampling / splitting are narrow filters (hash of the id);
+* packing range-partitions ONLY the surviving train split and runs the
+  distributed prefix-sum (driver sees one number per partition).
+
+No window over an unpartitioned ORDER BY anywhere; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .decontam import decontaminate
+from .exact import _H2_SEED
+from .lines import line_dedup
+from .packing import hash_split, pack_into_token_shards, stratified_sample
+from .textstats import quality_expr, token_count
+from .urldedup import url_dedup
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    *,
+    sample_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    stratum_col: str = "lang",
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    line_min_dup_docs: int = 2,
+    ngram_n: int = 8,
+    token_budget: int = 2000,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the full curation tail; returns one row per SURVIVING document:
+
+    ``(doc_id, <stratum_col>, n_tokens, quality, split, shard_id)``
+
+    with ``shard_id`` set for the train split (packed to ``token_budget``
+    tokens per shard) and NULL for val/test.  Deterministic: every stage
+    is a pure function of the input rows (hash-based sampling/splits, no
+    ``rand()``), so reruns and retries produce the identical corpus.
+    """
+    # -- 1. url refetch collapse (only when the crawl columns exist)
+    if "url" in docs.columns and "warc_ts" in docs.columns:
+        docs = url_dedup(docs)
+    d = docs.select(id_col, stratum_col, text_col)
+
+    # -- 2. exact collapse: min-id row per byte-identical text.  min(struct)
+    # with the unique id first is a deterministic argmin and partial-
+    # aggregates map-side; the 128-bit two-hash key avoids birthday false
+    # merges at 10^12 distinct texts (exact.py::with_text_hash).
+    win = (
+        d.withColumn("__th1", F.xxhash64(text_col))
+        .withColumn("__th2", F.xxhash64(F.lit(_H2_SEED), text_col))
+        .groupBy("__th1", "__th2")
+        .agg(F.min(F.struct(id_col, stratum_col, text_col)).alias("w"))
+    )
+    d = win.select(
+        F.col(f"w.{id_col}").alias(id_col),
+        F.col(f"w.{stratum_col}").alias(stratum_col),
+        F.col(f"w.{text_col}").alias(text_col),
+    )
+
+    # -- 3. boilerplate line dedup; the deduped text replaces the original
+    ld = line_dedup(d, text_col=text_col, id_col=id_col, min_dup_docs=line_min_dup_docs)
+    d = d.drop(text_col).join(
+        ld.select(id_col, F.col("text_dedup").alias(text_col)), id_col
+    )
+
+    # -- 4. quality + length gate on the post-boilerplate text
+    d = d.withColumn("n_tokens", token_count(F.col(text_col)).cast("long")).withColumn(
+        "quality", quality_expr(F.col(text_col))
+    )
+    d = d.filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
+
+    # -- 5. decontamination (corpus side never shuffles)
+    if eval_docs is not None:
+        d = decontaminate(d, eval_docs, n=ngram_n, text_col=text_col, id_col=id_col)
+
+    # -- 6./7. stratified rebalance + deterministic split
+    if sample_rates is not None:
+        d = stratified_sample(
+            d, sample_rates, stratum_col=stratum_col,
+            default_rate=default_rate, id_col=id_col,
+        )
+    d = hash_split(d, split_weights, id_col=id_col)
+
+    # -- 8. pack the train split into fixed-token shards
+    meta = d.select(id_col, stratum_col, "n_tokens", "quality", "split")
+    train = meta.filter(F.col("split") == "train")
+    shards = pack_into_token_shards(
+        train, token_budget=token_budget, size_col="n_tokens", id_col=id_col
+    ).select(id_col, "shard_id")
+    return meta.join(shards, id_col, "left").select(
+        id_col, stratum_col, "n_tokens", "quality", "split",
+        F.col("shard_id").cast("long").alias("shard_id"),
+    )

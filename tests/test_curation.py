@@ -1,0 +1,92 @@
+"""curate_corpus composition: stage ordering, determinism, url path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gencore_spark.operators.curation import curate_corpus
+from gencore_spark.operators.textstats import quality_expr, quality_score
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_quality_expr_matches_quality_score(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "!!!??? ... ;;; 123 456 789 000 111 222 333 444 555"),
+            (3, "short"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    via_score = {r["doc_id"]: r["quality"] for r in quality_score(d).collect()}
+    via_expr = {
+        r["doc_id"]: r["q"]
+        for r in d.select("doc_id", quality_expr(F.col("text")).alias("q")).collect()
+    }
+    assert via_expr == via_score
+
+
+def test_exact_collapse_runs_before_line_dedup(spark):
+    # THE ordering property the module docstring pins: a full-document
+    # duplicate must NOT turn its own body lines into corpus-duplicated
+    # boilerplate.  body appears in two byte-identical docs; after exact
+    # collapse it is one doc, so line dedup keeps it.
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "header line\n" + body, "en"),
+        (2, "header line\n" + body, "en"),  # byte-identical copy
+        (3, "header line\nother content words one two three four five six seven", "en"),
+    ]
+    out = curate_corpus(_mk_docs(spark, rows), min_quality=0.0, min_tokens=5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 3}  # copy collapsed to min id; bodies survived
+    # and both survivors kept their (10-token) bodies past the gate
+    toks = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert toks[1] == 10 and toks[3] == 10  # header evicted, body kept
+
+
+def test_curate_deterministic_and_shards_train_only(spark):
+    rows = [
+        (i, f"doc {i} body with enough distinct words " + " ".join(f"w{i}x{j}" for j in range(20)), "en")
+        for i in range(400)
+    ]
+    d = _mk_docs(spark, rows)
+    a = curate_corpus(d, token_budget=100).collect()
+    b = curate_corpus(d, token_budget=100).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
+    for r in a:
+        if r["split"] == "train":
+            assert r["shard_id"] is not None
+        else:
+            assert r["shard_id"] is None
+
+
+def test_curate_decontaminates_against_eval(spark):
+    shared = " ".join(f"tok{j}" for j in range(12))
+    rows = [
+        (1, "clean body " + " ".join(f"a{j}" for j in range(12)), "en"),
+        (2, "leaky body prefix " + shared, "en"),
+    ]
+    ev = _mk_docs(spark, [(99, "eval question " + shared, "en")])
+    out = curate_corpus(_mk_docs(spark, rows), ev, min_quality=0.0)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_curate_url_path_collapses_refetches(spark):
+    base = " ".join(f"w{j}" for j in range(15))
+    rows = [
+        (1, "https://EX.org:443/a?utm_x=1", "2024-01-01 00:00:00", base, "en"),
+        (2, "https://ex.org/a", "2024-01-02 00:00:00", base + " updated", "en"),
+        (3, "https://ex.org/b", "2024-01-01 00:00:00", "other " + base, "en"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts string, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = curate_corpus(d, min_quality=0.0)
+    # doc 1 and 2 are the same canonical url; the LATEST fetch (doc 2) wins
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
