@@ -122,8 +122,14 @@ def curate_corpus(
         )
     d = hash_split(d, split_weights, id_col=id_col)
 
-    # -- 8. pack the train split into fixed-token shards
-    meta = d.select(id_col, stratum_col, "n_tokens", "quality", "split")
+    # -- 8. pack the train split into fixed-token shards.  `meta` feeds
+    # BOTH the returned rows and the packing branch — without pinning,
+    # every upstream stage (exact shuffle, line dedup, decontam) runs
+    # twice.  Lazy localCheckpoint materializes once on first use and is
+    # tiny: 5 metadata columns for survivors, no text.
+    meta = d.select(
+        id_col, stratum_col, "n_tokens", "quality", "split"
+    ).localCheckpoint(eager=False)
     train = meta.filter(F.col("split") == "train")
     shards = pack_into_token_shards(
         train, token_budget=token_budget, size_col="n_tokens", id_col=id_col
