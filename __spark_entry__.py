@@ -784,6 +784,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample_langs"] = stratified_sample_langs
 
+    def shard_pack_shuffled(spark, sf_dir):
+        # hash-ordered packing: shards double as the global training-data
+        # shuffle (neighboring batches must not share a crawl segment)
+        from gencore_spark.operators.packing import pack_into_token_shards
+        from gencore_spark.operators.textstats import token_count
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_into_token_shards(d, token_budget=2000, order_by="hash")
+
+    q["shard_pack_shuffled"] = shard_pack_shuffled
+
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
         # exact collapse -> line dedup -> quality gate -> decontam ->
@@ -1292,6 +1305,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "shard_pack_shuffled": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                      * 2654435761) % 4294967296 AS b32
+              FROM documents
+            ),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY b32 ASC, doc_id ASC
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+            FROM c
         """,
         "corpus_curation_e2e": r"""
             WITH corp0 AS (

@@ -29,10 +29,18 @@ _KNUTH = 2654435761
 _SPLIT_BUCKETS = 10_000
 
 
+def split_bucket32(id_col: Column) -> Column:
+    """Deterministic value in [0, 2^32) from an integer id — the full-width
+    Knuth hash (``split_bucket`` is this mod 10⁴; the 32-bit form is the
+    sort key for hash-ordered shard packing, where 10⁴ buckets would leave
+    corpus-order runs inside each bucket)."""
+    folded = F.pmod(id_col, F.lit(2_147_483_648))
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32))
+
+
 def split_bucket(id_col: Column) -> Column:
     """Deterministic bucket in [0, 10000) from an integer id."""
-    folded = F.pmod(id_col, F.lit(2_147_483_648))
-    return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32)) % _SPLIT_BUCKETS
+    return split_bucket32(id_col) % _SPLIT_BUCKETS
 
 
 def hash_split(
@@ -66,10 +74,22 @@ def pack_into_token_shards(
     size_col: str = "n_tokens",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    order_by: str = "size_desc",
 ) -> DataFrame:
-    """Assign each doc a ``shard_id`` so consecutive docs (in the fixed
-    order: ``size_col`` DESC, ``id_col`` ASC) fill ~``token_budget`` tokens
-    per shard: ``shard_id = floor(running_total_before_doc / budget)``.
+    """Assign each doc a ``shard_id`` so consecutive docs (in a fixed total
+    order) fill ~``token_budget`` tokens per shard:
+    ``shard_id = floor(running_total_before_doc / budget)``.
+
+    ``order_by`` picks the total order:
+
+    * ``"size_desc"`` (default) — ``size_col`` DESC, ``id_col`` ASC: the
+      bin-packing-ish order that minimizes shard-count overshoot.
+    * ``"hash"`` — ``split_bucket32(id)`` ASC, ``id_col`` ASC: a
+      deterministic PSEUDO-RANDOM document order, so shards double as a
+      global training-data shuffle (a trainer streaming shard 0, 1, 2…
+      sees documents in hash order, not corpus/source order — the
+      standard requirement that neighboring training batches not share a
+      crawl segment).  Same determinism contract as :func:`hash_split`.
 
     A doc larger than the budget gets a shard to itself (the next doc
     starts a new shard).  Deterministic for any partitioning because the
@@ -86,7 +106,12 @@ def pack_into_token_shards(
     The only driver-side data is one number per partition.
     """
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    order = [F.col(size_col).desc(), F.col(id_col).asc()]
+    if order_by == "hash":
+        order = [split_bucket32(F.col(id_col)).asc(), F.col(id_col).asc()]
+    elif order_by == "size_desc":
+        order = [F.col(size_col).desc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"order_by must be 'size_desc' or 'hash', got {order_by!r}")
     # cache: the partition-id column must be IDENTICAL in the totals job
     # and the cumsum job; caching pins one materialization of the range
     # partitioning for both

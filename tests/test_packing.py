@@ -149,3 +149,32 @@ def test_stratified_sample_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # a sample must never shuffle
+
+
+def test_hash_ordered_packing_shuffles_corpus_order(spark):
+    from gencore_spark.operators.packing import pack_into_token_shards
+
+    d = spark.range(0, 5_000).withColumnRenamed("id", "doc_id").withColumn(
+        "n_tokens", F.lit(100)
+    )
+    out = pack_into_token_shards(d, token_budget=1000, order_by="hash")
+    shard0 = sorted(r["doc_id"] for r in out.filter(F.col("shard_id") == 0).collect())
+    # equal sizes -> 10 docs per shard; hash order must not be id order
+    assert len(shard0) == 10
+    assert shard0 != list(range(10))
+    # deterministic + partitioning-independent
+    again = pack_into_token_shards(
+        d.repartition(17), token_budget=1000, order_by="hash"
+    )
+    a = sorted((r["doc_id"], r["shard_id"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["shard_id"]) for r in again.collect())
+    assert a == b
+
+
+def test_packing_rejects_unknown_order(spark):
+    import pytest as _pytest
+    from gencore_spark.operators.packing import pack_into_token_shards
+
+    d = spark.range(3).withColumnRenamed("id", "doc_id").withColumn("n_tokens", F.lit(1))
+    with _pytest.raises(ValueError):
+        pack_into_token_shards(d, token_budget=10, order_by="random")
