@@ -65,6 +65,7 @@ def curate_corpus(
     ngram_n: int = 8,
     token_budget: int = 2000,
     split_weights: dict[str, float] | None = None,
+    near_dup: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -97,6 +98,26 @@ def curate_corpus(
         F.col(f"w.{stratum_col}").alias(stratum_col),
         F.col(f"w.{text_col}").alias(text_col),
     )
+
+    # -- 2b. optional near-dup collapse (MinHash/LSH/verify/CC engine):
+    # keep the min-id member of every near-dup cluster.  Off by default so
+    # the composition stays exactly SQL-oracle-expressible; when on, the
+    # engine's own oracle'd stack (dedup_variants.minhash_lsh_clusters)
+    # does the clustering and this stage is covered by pytest instead.
+    if near_dup:
+        from .dedup_variants import minhash_lsh_clusters
+
+        assign = minhash_lsh_clusters(
+            d.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        )
+        winners = (
+            assign.groupBy("cluster_id")
+            .agg(F.min("doc_id").alias(id_col))
+            .select(id_col)
+        )
+        d = d.join(winners, id_col, "left_semi")
 
     # -- 3. boilerplate line dedup; the deduped text replaces the original
     ld = line_dedup(d, text_col=text_col, id_col=id_col, min_dup_docs=line_min_dup_docs)

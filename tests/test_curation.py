@@ -90,3 +90,17 @@ def test_curate_url_path_collapses_refetches(spark):
     out = curate_corpus(d, min_quality=0.0)
     # doc 1 and 2 are the same canonical url; the LATEST fetch (doc 2) wins
     assert {r["doc_id"] for r in out.collect()} == {2, 3}
+
+
+def test_curate_near_dup_flag_collapses_clusters(spark):
+    base = " ".join(f"tok{j} word{j} item{j}" for j in range(30))
+    rows = [
+        (1, base, "en"),
+        (2, base + " qq", "en"),       # near-dup of 1 (high Jaccard)
+        (3, "totally different " + " ".join(f"z{j}" for j in range(40)), "en"),
+    ]
+    d = _mk_docs(spark, rows)
+    without = {r["doc_id"] for r in curate_corpus(d, min_quality=0.0).collect()}
+    with_nd = {r["doc_id"] for r in curate_corpus(d, min_quality=0.0, near_dup=True).collect()}
+    assert without == {1, 2, 3}   # exact collapse alone keeps the near-dup
+    assert with_nd == {1, 3}      # near-dup collapse elects the min id
