@@ -165,3 +165,19 @@ def test_election_ladder_is_tie_free(con):
     """
     ties = con.execute(full).fetchall()
     assert not ties, f"election tie past the length rung in clusters {ties}"
+
+
+def test_documents_ids_unique_and_31bit(con):
+    """Load-bearing assumptions of the curation / packing / sampling
+    oracles: (1) doc_id is UNIQUE — min(struct(doc_id, ...)) in Spark vs
+    row_number()-by-doc_id in SQL are equivalent argmins only then; (2)
+    doc_id < 2^31 so the planted +1e7 copies in corpus_curation_e2e stay
+    inside the Knuth-hash fold and never alias an original id."""
+    n, nd, mx, mn = con.execute(
+        "SELECT count(*), count(DISTINCT doc_id), max(doc_id), min(doc_id)"
+        " FROM documents"
+    ).fetchone()
+    assert n == nd, "duplicate doc_ids break the argmin oracle equivalence"
+    assert mn >= 0 and mx < 10_000_000, (
+        f"doc_id range [{mn}, {mx}] would collide with the +1e7 planted copies"
+    )

@@ -167,3 +167,32 @@ def test_with_canonical_url_single_regex_pass(spark):
     assert plan.count("#.*") == 1, plan
     rows = sorted(r["canonical_url"] for r in out.collect())
     assert rows[0] == "https://ex.org/a?id=0"
+
+
+def test_with_canonical_url_matches_column_form_randomized(spark):
+    # 300 adversarial-ish URLs built from a deterministic generator:
+    # random case, optional ports, fragments, tracking/empty/kept params
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Ex.Org", "a.b.c.example.COM", "xn--bcher-kva.ch", "127.0.0.1"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/A/b/C", "/p?not=a&real?q", "/%7Euser/x.y"]
+    params = ["utm_source=x", "utm_x", "fbclid=1", "gclid", "msclkid=5",
+              "id=3", "b=2", "", "autumn=1", "Q=Vv", "a=b=c", "&"]
+    frags = ["", "#top", "#sec-2", "##x"]
+    urls = []
+    for _ in range(300):
+        q = "&".join(rng.sample(params, rng.randint(0, 5)))
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + (("?" + q) if q else "") + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    both = with_canonical_url(df).select(
+        "url", "canonical_url", canonical_url(F.col("url")).alias("col_form")
+    ).collect()
+    bad = [(r["url"], r["canonical_url"], r["col_form"])
+           for r in both if r["canonical_url"] != r["col_form"]]
+    assert not bad, f"{len(bad)} divergences, first: {bad[:3]}"
