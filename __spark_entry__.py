@@ -797,6 +797,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_pack_shuffled"] = shard_pack_shuffled
 
+    def gopher_rules(spark, sf_dir):
+        # plant rule-violating structure so every flag discriminates:
+        # bullet lines on every 6th doc, a trailing ellipsis line on every
+        # 9th, a no-alpha digit block on every 10th
+        from gencore_spark.operators.textstats import gopher_quality_flags
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 6 == 1,
+                    F.lit("- item one\n- item two\n* item three\n"),
+                ).otherwise(F.lit("")),
+                F.col("text"),
+                F.when(F.col("doc_id") % 10 == 2, F.lit("\n00 11 22 33 44 55"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 9 == 4, F.lit("\nread more..."))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return gopher_quality_flags(d)
+
+    q["gopher_rules"] = gopher_rules
+
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
         # exact collapse -> line dedup -> quality gate -> decontam ->
@@ -1305,6 +1329,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "gopher_rules": r"""
+            WITH corp AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 1
+                          THEN '- item one' || chr(10) || '- item two' ||
+                               chr(10) || '* item three' || chr(10)
+                          ELSE '' END ||
+                     text ||
+                     CASE WHEN doc_id % 10 = 2
+                          THEN chr(10) || '00 11 22 33 44 55' ELSE '' END ||
+                     CASE WHEN doc_id % 9 = 4
+                          THEN chr(10) || 'read more...' ELSE '' END AS text
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> len(trim(l)) > 0) AS ls,
+                     string_split_regex(trim(text), '\s+') AS ws,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(string_split_regex(trim(text), '\s+'))
+                          END AS n_tokens
+              FROM corp
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(n_tokens AS BIGINT) AS n_tokens,
+                     round(length(regexp_replace(text, '\s+', '', 'g'))
+                           / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6)
+                       AS mean_word_len,
+                     round(len(list_filter(ls, l ->
+                             starts_with(ltrim(l), '-')
+                             OR starts_with(ltrim(l), '*')
+                             OR starts_with(ltrim(l), '•')))
+                           / greatest(CAST(len(ls) AS DOUBLE), 1.0), 6)
+                       AS frac_lines_bullet,
+                     round(len(list_filter(ls, l ->
+                             ends_with(rtrim(l), '...')
+                             OR ends_with(rtrim(l), '…')))
+                           / greatest(CAST(len(ls) AS DOUBLE), 1.0), 6)
+                       AS frac_lines_ellipsis,
+                     round(len(list_filter(ws, w ->
+                             regexp_matches(w, '[A-Za-z]')))
+                           / greatest(CAST(n_tokens AS DOUBLE), 1.0), 6)
+                       AS frac_words_alpha
+              FROM s
+            )
+            SELECT *,
+                   n_tokens >= 50 AND n_tokens <= 100000
+                   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                   AND frac_lines_bullet <= 0.9
+                   AND frac_lines_ellipsis <= 0.3
+                   AND frac_words_alpha >= 0.8 AS passes_gopher
+            FROM m
         """,
         "shard_pack_shuffled": r"""
             WITH t AS (

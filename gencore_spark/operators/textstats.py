@@ -324,3 +324,74 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame
         .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
         .limit(k)
     )
+
+
+# -------------------------------------------------- Gopher quality rules
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-level quality rules (Rae et al. 2021 §A1.1):
+    word-count window, mean word length window, bullet-line / ellipsis-line
+    fractions, alphabetic-word fraction — plus the composite
+    ``passes_gopher`` gate over the published thresholds.
+
+    All JVM-side (split + array higher-order functions + regex), with the
+    word/line arrays bound to attributes first (the CodegenFallback
+    re-evaluation discipline, see COVERAGE.md).  Ratios round to 6dp and
+    the gate compares the ROUNDED values so the DuckDB oracle reproduces
+    the exact bytes.
+    """
+    t = F.col(text_col)
+    s1 = df.select(
+        "doc_id",
+        t.alias("__t"),
+        F.split(t, "\n").alias("__lines0"),
+        F.split(F.trim(t), r"\s+").alias("__words"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "__t",
+        "__words",
+        F.filter(F.col("__lines0"), lambda l: F.length(F.trim(l)) > 0).alias(
+            "__lines"
+        ),
+    )
+    n_tokens = token_count(F.col("__t"))
+    safe_tok = F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_lines = F.size("__lines")
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    alpha = F.size(F.filter(F.col("__words"), lambda w: w.rlike("[A-Za-z]")))
+    out = s2.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("__t", r"\s+", "")).cast("double") / safe_tok, 6
+        ).alias("mean_word_len"),
+        F.round(bullet / safe_lines, 6).alias("frac_lines_bullet"),
+        F.round(ellipsis / safe_lines, 6).alias("frac_lines_ellipsis"),
+        F.round(alpha / safe_tok, 6).alias("frac_words_alpha"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("frac_lines_bullet") <= 0.9)
+        & (F.col("frac_lines_ellipsis") <= 0.3)
+        & (F.col("frac_words_alpha") >= 0.8),
+    )
