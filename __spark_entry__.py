@@ -821,6 +821,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_rules"] = gopher_rules
 
+    def _domained_docs(spark, sf_dir):
+        # 7 synthetic domains; mixed-case + port spellings exercise
+        # domain_of's lowering and authority extraction
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://D"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".Example.org/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+
+    def domain_stats_q(spark, sf_dir):
+        from gencore_spark.operators.domains import domain_stats
+
+        return domain_stats(_domained_docs(spark, sf_dir))
+
+    q["domain_stats"] = domain_stats_q
+
+    def domain_cap_keep(spark, sf_dir):
+        # block one domain, cap the rest at 30 docs each (first-crawled
+        # wins: ascending doc_id)
+        from gencore_spark.operators.domains import (
+            domain_blocklist_filter,
+            domain_cap,
+        )
+
+        d = _domained_docs(spark, sf_dir).select("doc_id", "url")
+        blocked = spark.createDataFrame(
+            [("d3.example.org",)], "domain string"
+        )
+        return domain_cap(domain_blocklist_filter(d, blocked), cap=30)
+
+    q["domain_cap_keep"] = domain_cap_keep
+
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
         # exact collapse -> line dedup -> quality gate -> decontam ->
@@ -1329,6 +1367,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "domain_stats": r"""
+            WITH u AS (
+              SELECT doc_id, text,
+                     'https://D' || (doc_id % 7) || '.Example.org/p/'
+                       || doc_id AS url
+              FROM documents
+            ),
+            d AS (
+              SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1))
+                       AS domain,
+                     md5(text) AS digest,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(string_split_regex(trim(text), '\s+'))
+                          END AS tok
+              FROM u
+            )
+            SELECT domain, count(*) AS n_docs,
+                   count(DISTINCT digest) AS n_distinct_texts,
+                   round(avg(tok), 6) AS avg_tokens
+            FROM d GROUP BY domain
+        """,
+        "domain_cap_keep": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://D' || (doc_id % 7) || '.Example.org/p/'
+                       || doc_id AS url
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1))
+                       AS domain
+              FROM u
+            ),
+            kept AS (
+              SELECT doc_id, url,
+                     row_number() OVER (PARTITION BY domain
+                                        ORDER BY doc_id ASC) AS rn
+              FROM d WHERE domain <> 'd3.example.org'
+            )
+            SELECT doc_id, url FROM kept WHERE rn <= 30
         """,
         "gopher_rules": r"""
             WITH corp AS (
