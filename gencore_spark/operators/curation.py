@@ -66,6 +66,7 @@ def curate_corpus(
     token_budget: int = 2000,
     split_weights: dict[str, float] | None = None,
     near_dup: bool = False,
+    max_docs_per_domain: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -78,9 +79,17 @@ def curate_corpus(
     is a pure function of the input rows (hash-based sampling/splits, no
     ``rand()``), so reruns and retries produce the identical corpus.
     """
-    # -- 1. url refetch collapse (only when the crawl columns exist)
+    # -- 1. url refetch collapse (only when the crawl columns exist), then
+    # the optional anti-spam per-domain cap (domains.py two-phase top-N;
+    # first-crawled wins via ascending id)
     if "url" in docs.columns and "warc_ts" in docs.columns:
         docs = url_dedup(docs)
+    if max_docs_per_domain is not None:
+        if "url" not in docs.columns:
+            raise ValueError("max_docs_per_domain needs a url column")
+        from .domains import domain_cap
+
+        docs = domain_cap(docs, max_docs_per_domain, order_col=id_col)
     d = docs.select(id_col, stratum_col, text_col)
 
     # -- 2. exact collapse: min-id row per byte-identical text.  min(struct)

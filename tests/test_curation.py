@@ -104,3 +104,28 @@ def test_curate_near_dup_flag_collapses_clusters(spark):
     with_nd = {r["doc_id"] for r in curate_corpus(d, min_quality=0.0, near_dup=True).collect()}
     assert without == {1, 2, 3}   # exact collapse alone keeps the near-dup
     assert with_nd == {1, 3}      # near-dup collapse elects the min id
+
+
+def test_curate_domain_cap_limits_spam_domain(spark):
+    # 8 docs from a link farm + 2 from a normal site; cap=2 keeps the
+    # first two farm docs (ascending id) and everything else
+    mk = lambda i, dom: (
+        i, f"https://{dom}/p/{i}", "2024-01-01 00:00:00",
+        f"doc {i} " + " ".join(f"u{i}w{j}" for j in range(12)), "en",
+    )
+    rows = [mk(i, "farm.ex.org") for i in range(8)] + [
+        mk(100, "ok.ex.org"), mk(101, "ok.ex.org")
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts string, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = curate_corpus(d, min_quality=0.0, max_docs_per_domain=2)
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 100, 101}
+
+
+def test_curate_domain_cap_requires_url(spark):
+    import pytest as _pytest
+
+    d = _mk_docs(spark, [(1, "some body text with enough words here to pass", "en")])
+    with _pytest.raises(ValueError):
+        curate_corpus(d, max_docs_per_domain=5)
