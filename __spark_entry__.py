@@ -859,6 +859,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_cap_keep"] = domain_cap_keep
 
+    def bm25_search(spark, sf_dir):
+        # lexical contamination search: queries = the first 6 words of
+        # every 100th doc; its source doc should (and does) rank first
+        from gencore_spark.operators.bm25 import bm25_topk
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        qs = d.filter(F.col("doc_id") % 100 == 1).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 1, 6), " "
+            ).alias("text"),
+        )
+        return bm25_topk(d, qs, k=10)
+
+    q["bm25_search"] = bm25_search
+
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
         # exact collapse -> line dedup -> quality gate -> decontam ->
@@ -1367,6 +1383,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "bm25_search": r"""
+            WITH q AS (
+              SELECT doc_id AS query_id,
+                     array_to_string(
+                       (string_split_regex(trim(text), '\s+'))[1:6], ' ')
+                       AS text
+              FROM documents WHERE doc_id % 100 = 1
+            ),
+            tok AS (SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                  '\s+')) AS term
+                    FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            dl AS (SELECT doc_id,
+                          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE length(string_split_regex(trim(text),
+                               '\s+')) END AS DOUBLE) AS dl
+                   FROM documents),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE length(string_split_regex(trim(text),
+                              '\s+')) END) AS avgdl
+                   FROM documents),
+            post AS (SELECT tf.doc_id, tf.term,
+                            ln(1 + (st.n_docs - dft.df + 0.5)
+                                   / (dft.df + 0.5))
+                            * tf.tf
+                            / (tf.tf + 1.2 * (1 - 0.75
+                                              + 0.75 * dl.dl / st.avgdl))
+                              AS comp
+                     FROM tf JOIN dl USING (doc_id)
+                             JOIN dft USING (term) CROSS JOIN st),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(list_distinct(string_split_regex(
+                            lower(trim(text)), '\s+'))) AS term
+                   FROM q),
+            sc AS (SELECT query_id, doc_id,
+                          round(sum(comp), 6) AS score
+                   FROM post JOIN qt USING (term) GROUP BY 1, 2),
+            rk AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC,
+                                             doc_id ASC) AS rank
+                   FROM sc)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+                   CAST(score AS DOUBLE) AS score
+            FROM rk WHERE rank <= 10
         """,
         "domain_stats": r"""
             WITH u AS (
