@@ -875,6 +875,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_search"] = bm25_search
 
+    def script_mix_q(spark, sf_dir):
+        # plant non-Latin scripts deterministically: every 8th doc gets a
+        # CJK block, every 11th a Cyrillic run (literals identical in the
+        # oracle), the rest stay Latin-dominant
+        from gencore_spark.operators.textstats import script_mix
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 8 == 3,
+                F.lit("今日は良い天気です 世界の皆さん こんにちは 元気ですか"),
+            )
+            .when(F.col("doc_id") % 97 == 9, F.lit("12345 67890 ... !!!"))
+            .when(
+                F.col("doc_id") % 11 == 5,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" привет мир как дела сегодня хороший день"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return script_mix(d)
+
+    q["script_mix"] = script_mix_q
+
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
         # exact collapse -> line dedup -> quality gate -> decontam ->
@@ -1383,6 +1410,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "script_mix": r"""
+            WITH corp AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 8 = 3
+                         THEN '今日は良い天気です 世界の皆さん こんにちは 元気ですか'
+                       WHEN doc_id % 97 = 9 THEN '12345 67890 ... !!!'
+                       WHEN doc_id % 11 = 5
+                         THEN text || ' привет мир как дела сегодня хороший день'
+                       ELSE text END AS text
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n,
+                     length(text) - length(regexp_replace(text,
+                       '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS c_latin,
+                     length(text) - length(regexp_replace(text,
+                       '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g'))
+                       AS c_cjk,
+                     length(text) - length(regexp_replace(text,
+                       '[\x{0400}-\x{04FF}]', '', 'g')) AS c_cyrillic,
+                     length(text) - length(regexp_replace(text,
+                       '[\x{0600}-\x{06FF}]', '', 'g')) AS c_arabic
+              FROM corp
+            ),
+            f AS (
+              SELECT doc_id, CAST(n AS BIGINT) AS n_chars_nws,
+                     round(c_latin / greatest(CAST(n AS DOUBLE), 1.0), 6)
+                       AS frac_latin,
+                     round(c_cjk / greatest(CAST(n AS DOUBLE), 1.0), 6)
+                       AS frac_cjk,
+                     round(c_cyrillic / greatest(CAST(n AS DOUBLE), 1.0), 6)
+                       AS frac_cyrillic,
+                     round(c_arabic / greatest(CAST(n AS DOUBLE), 1.0), 6)
+                       AS frac_arabic
+              FROM c
+            )
+            SELECT *,
+                   CASE
+                     WHEN greatest(frac_latin, frac_cjk, frac_cyrillic,
+                                   frac_arabic) <= 0.0 THEN 'und'
+                     WHEN frac_latin = greatest(frac_latin, frac_cjk,
+                            frac_cyrillic, frac_arabic) THEN 'latin'
+                     WHEN frac_cjk = greatest(frac_latin, frac_cjk,
+                            frac_cyrillic, frac_arabic) THEN 'cjk'
+                     WHEN frac_cyrillic = greatest(frac_latin, frac_cjk,
+                            frac_cyrillic, frac_arabic) THEN 'cyrillic'
+                     ELSE 'arabic' END AS dominant_script
+            FROM f
         """,
         "bm25_search": r"""
             WITH q AS (

@@ -395,3 +395,60 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("frac_lines_ellipsis") <= 0.3)
         & (F.col("frac_words_alpha") >= 0.8),
     )
+
+
+# ------------------------------------------------------- script mix signals
+
+# explicit codepoint RANGES, not named classes: Java regex spells scripts
+# \p{script=Han} while RE2 (DuckDB) spells \p{Han} — ranges use the one
+# syntax both engines parse identically, which keeps the oracle byte-exact
+_SCRIPT_RANGES = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+}
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document script composition: the fraction of non-whitespace
+    characters in each major script range, plus the argmax
+    ``dominant_script`` ('und' when nothing matches — e.g. pure
+    digits/punctuation).
+
+    The cheap routing signal upstream of language ID: a mislabeled-lang
+    page with 90% CJK characters routes to the CJK shingling config no
+    matter what the crawl metadata claims.  All JVM-side
+    ``regexp_replace``/``length`` counting; ratios round to 6dp.
+    """
+    t = F.col(text_col)
+    # count of matching chars = chars deleted by stripping the range
+    # (every match is a single codepoint; Spark length() and DuckDB
+    # length() both count codepoints — BMP-only ranges, so no surrogate
+    # divergence)
+    s1 = df.select(
+        "doc_id",
+        F.length(F.regexp_replace(t, r"\s", "")).cast("double").alias("__n"),
+        *[
+            (F.length(t) - F.length(F.regexp_replace(t, rx, "")))
+            .cast("double")
+            .alias(f"__c_{name}")
+            for name, rx in _SCRIPT_RANGES.items()
+        ],
+    )
+    safe_n = F.greatest(F.col("__n"), F.lit(1.0))
+    fracs = {
+        name: F.round(F.col(f"__c_{name}") / safe_n, 6)
+        for name in _SCRIPT_RANGES
+    }
+    s2 = s1.select(
+        "doc_id",
+        F.col("__n").cast("long").alias("n_chars_nws"),
+        *[fracs[name].alias(f"frac_{name}") for name in _SCRIPT_RANGES],
+    )
+    names = list(_SCRIPT_RANGES)
+    best = F.greatest(*[F.col(f"frac_{n}") for n in names])
+    dom = F.when(best <= 0.0, F.lit("und"))
+    for n in names:  # fixed-order tie-break, same pattern as lang_id
+        dom = dom.when(F.col(f"frac_{n}") == best, F.lit(n))
+    return s2.withColumn("dominant_script", dom.otherwise(F.lit("und")))

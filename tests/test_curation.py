@@ -129,3 +129,13 @@ def test_curate_domain_cap_requires_url(spark):
     d = _mk_docs(spark, [(1, "some body text with enough words here to pass", "en")])
     with _pytest.raises(ValueError):
         curate_corpus(d, max_docs_per_domain=5)
+
+
+def test_curation_plan_is_jvm_only(spark):
+    # plan contract: the default composition runs no Python in any form —
+    # every gate/gram/hash expression stays inside the JVM
+    rows = [(i, f"body {i} " + " ".join(f"w{i}x{j}" for j in range(15)), "en")
+            for i in range(50)]
+    out = curate_corpus(_mk_docs(spark, rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

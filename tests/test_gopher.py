@@ -47,3 +47,24 @@ def test_empty_text_is_all_zero(spark):
     r = _flags(spark, "")
     assert (r["n_tokens"], r["mean_word_len"], r["frac_words_alpha"]) == (0, 0.0, 0.0)
     assert not r["passes_gopher"]
+
+
+def test_script_mix_detects_scripts(spark):
+    from gencore_spark.operators.textstats import script_mix
+
+    rows = [
+        (1, "plain english words only here"),
+        (2, "今日は良い天気です 世界の皆さん"),
+        (3, "привет мир как дела"),
+        (4, "mixed latin و عربي نص"),
+        (5, "12345 !!! ..."),
+        (6, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_mix(d).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["frac_latin"] == 1.0
+    assert out[2]["dominant_script"] == "cjk" and out[2]["frac_cjk"] == 1.0
+    assert out[3]["dominant_script"] == "cyrillic"
+    assert out[4]["frac_arabic"] > 0 and out[4]["frac_latin"] > 0
+    assert out[5]["dominant_script"] == "und" and out[5]["n_chars_nws"] > 0
+    assert out[6]["dominant_script"] == "und" and out[6]["n_chars_nws"] == 0
