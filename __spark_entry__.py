@@ -902,6 +902,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["script_mix"] = script_mix_q
 
+    def containment_pairs(spark, sf_dir):
+        # truncation dedup: every 10th doc gets a PREFIX-HALF copy at
+        # +3e7 — Jaccard(half, whole) ~ 0.5 (MinHash-LSH structurally
+        # misses it) but containment(half in whole) = 1.0
+        from gencore_spark.operators.containment import containment_candidates
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        words = F.split(F.trim("text"), r"\s+")
+        half = F.array_join(
+            F.slice(
+                words, 1, F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+            ),
+            " ",
+        )
+        corp = d.unionByName(
+            d.filter(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                half.alias("text"),
+            )
+        )
+        return containment_candidates(corp)
+
+    q["containment_pairs"] = containment_pairs
+
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
         # exact collapse -> line dedup -> quality gate -> decontam ->
@@ -1410,6 +1434,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
                                 ELSE 1000 END
+        """,
+        "containment_pairs": r"""
+            WITH corp AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000000,
+                     array_to_string(list_slice(
+                       string_split_regex(trim(text), '\s+'), 1,
+                       CAST(ceil(len(string_split_regex(trim(text),
+                         '\s+')) / 2.0) AS INT)), ' ')
+              FROM documents WHERE doc_id % 10 = 6
+            ),
+            w AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS ws
+                  FROM corp),
+            g0 AS (SELECT doc_id,
+                          CASE WHEN len(ws) >= 8 THEN
+                            list_distinct([ws[i+1] || ' ' || ws[i+2] || ' '
+                              || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                              || ' ' || ws[i+6] || ' ' || ws[i+7] || ' '
+                              || ws[i+8] FOR i IN range(len(ws) - 7)])
+                          ELSE [] END AS gs
+                   FROM w),
+            g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+            rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g
+                                     GROUP BY 1) WHERE df <= 64),
+            p AS (SELECT g.doc_id, g.gh FROM g JOIN rare USING (gh)),
+            sk AS (SELECT doc_id,
+                          list_slice(list(gh ORDER BY gh), 1, 16) AS bk
+                   FROM p GROUP BY doc_id),
+            probes AS (SELECT doc_id AS id_a,
+                              least(len(bk), 16) AS k_eff,
+                              unnest(bk) AS gh
+                       FROM sk),
+            pairs AS (SELECT id_a, p.doc_id AS id_b,
+                             count(*) AS m, any_value(k_eff) AS k_eff
+                      FROM probes JOIN p USING (gh)
+                      WHERE id_a <> p.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(m / CAST(k_eff AS DOUBLE), 6) AS est_containment
+            FROM pairs
+            WHERE round(m / CAST(k_eff AS DOUBLE), 6) >= 0.8
         """,
         "script_mix": r"""
             WITH corp AS (
