@@ -67,6 +67,7 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     near_dup: bool = False,
     max_docs_per_domain: int | None = None,
+    attrition: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -78,18 +79,35 @@ def curate_corpus(
     tokens per shard) and NULL for val/test.  Deterministic: every stage
     is a pure function of the input rows (hash-based sampling/splits, no
     ``rand()``), so reruns and retries produce the identical corpus.
+
+    Pass an empty dict as ``attrition`` to get per-stage survivor counts
+    (the curation REPORT, sibling of ``dedup_pages``'s REPORT.json):
+    ``docs_in``, ``after_url_dedup``, ``after_domain_cap``,
+    ``after_exact``, ``after_near_dup``, ``boilerplate_lines_removed``,
+    ``after_quality_gate``, ``after_decontam``, ``after_sample``, and
+    ``splits`` (rows per split).  Counting forces one extra scan per
+    stage boundary AT CALL TIME — an opt-in cost; the default path's only
+    call-time work is the packing offsets collect (P numbers, by design).
+    Absent stages are simply not reported.
     """
+    track = attrition is not None
     # -- 1. url refetch collapse (only when the crawl columns exist), then
     # the optional anti-spam per-domain cap (domains.py two-phase top-N;
     # first-crawled wins via ascending id)
+    if track:
+        attrition["docs_in"] = docs.count()
     if "url" in docs.columns and "warc_ts" in docs.columns:
         docs = url_dedup(docs)
+        if track:
+            attrition["after_url_dedup"] = docs.count()
     if max_docs_per_domain is not None:
         if "url" not in docs.columns:
             raise ValueError("max_docs_per_domain needs a url column")
         from .domains import domain_cap
 
         docs = domain_cap(docs, max_docs_per_domain, order_col=id_col)
+        if track:
+            attrition["after_domain_cap"] = docs.count()
     d = docs.select(id_col, stratum_col, text_col)
 
     # -- 2. exact collapse: min-id row per byte-identical text.  min(struct)
@@ -107,6 +125,8 @@ def curate_corpus(
         F.col(f"w.{stratum_col}").alias(stratum_col),
         F.col(f"w.{text_col}").alias(text_col),
     )
+    if track:
+        attrition["after_exact"] = d.count()
 
     # -- 2b. optional near-dup collapse (MinHash/LSH/verify/CC engine):
     # keep the min-id member of every near-dup cluster.  Off by default so
@@ -127,9 +147,15 @@ def curate_corpus(
             .select(id_col)
         )
         d = d.join(winners, id_col, "left_semi")
+        if track:
+            attrition["after_near_dup"] = d.count()
 
     # -- 3. boilerplate line dedup; the deduped text replaces the original
     ld = line_dedup(d, text_col=text_col, id_col=id_col, min_dup_docs=line_min_dup_docs)
+    if track:
+        attrition["boilerplate_lines_removed"] = int(
+            ld.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
     d = d.drop(text_col).join(
         ld.select(id_col, F.col("text_dedup").alias(text_col)), id_col
     )
@@ -139,10 +165,14 @@ def curate_corpus(
         "quality", quality_expr(F.col(text_col))
     )
     d = d.filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
+    if track:
+        attrition["after_quality_gate"] = d.count()
 
     # -- 5. decontamination (corpus side never shuffles)
     if eval_docs is not None:
         d = decontaminate(d, eval_docs, n=ngram_n, text_col=text_col, id_col=id_col)
+        if track:
+            attrition["after_decontam"] = d.count()
 
     # -- 6./7. stratified rebalance + deterministic split
     if sample_rates is not None:
@@ -150,6 +180,8 @@ def curate_corpus(
             d, sample_rates, stratum_col=stratum_col,
             default_rate=default_rate, id_col=id_col,
         )
+        if track:
+            attrition["after_sample"] = d.count()
     d = hash_split(d, split_weights, id_col=id_col)
 
     # -- 8. pack the train split into fixed-token shards.  `meta` feeds
@@ -160,6 +192,11 @@ def curate_corpus(
     meta = d.select(
         id_col, stratum_col, "n_tokens", "quality", "split"
     ).localCheckpoint(eager=False)
+    if track:
+        attrition["splits"] = {
+            r["split"]: r["n"]
+            for r in meta.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
     train = meta.filter(F.col("split") == "train")
     shards = pack_into_token_shards(
         train, token_budget=token_budget, size_col="n_tokens", id_col=id_col

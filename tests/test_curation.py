@@ -139,3 +139,31 @@ def test_curation_plan_is_jvm_only(spark):
     out = curate_corpus(_mk_docs(spark, rows))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curate_attrition_report(spark):
+    rows = (
+        [(i, "dup body " + " ".join(f"s{j}" for j in range(15)), "en") for i in range(4)]
+        + [(10 + i, f"unique {i} " + " ".join(f"u{i}w{j}" for j in range(15)), "en")
+           for i in range(20)]
+    )
+    d = _mk_docs(spark, rows)
+    rep = {}
+    out = curate_corpus(d, min_quality=0.0, attrition=rep)
+    n_out = out.count()
+    assert rep["docs_in"] == 24
+    assert rep["after_exact"] == 21          # 4 identical bodies -> 1
+    assert rep["after_quality_gate"] == n_out
+    assert sum(rep["splits"].values()) == n_out
+    assert rep["boilerplate_lines_removed"] == 0
+    # untracked stages are absent, not zero
+    assert "after_url_dedup" not in rep and "after_decontam" not in rep
+
+
+def test_curate_no_attrition_leaves_dict_untouched(spark):
+    # the default path must not report anything; call-time work is only
+    # the packing offsets job (a P-number collect, by design)
+    rows = [(1, "body " + " ".join(f"w{j}" for j in range(15)), "en")]
+    rep = None
+    curate_corpus(_mk_docs(spark, rows))  # attrition defaults to None
+    assert rep is None
