@@ -28,21 +28,29 @@ def url_dedup(
     df: DataFrame,
     url_col: str = "url",
     ts_col: str = "warc_ts",
+    keep: str = "latest",
 ) -> DataFrame:
-    """One row per canonical URL: the latest ``ts_col`` fetch, ties broken
-    by ascending raw URL (deterministic across retries/partitionings).
+    """One row per canonical URL: the ``keep="latest"`` (default) or
+    ``keep="first"`` ``ts_col`` fetch, ties broken by ascending raw URL
+    (deterministic across retries/partitionings).  "latest" is the
+    freshness policy (recrawls supersede); "first" is the stability policy
+    (a page edited to inject spam after first crawl never replaces the
+    clean capture — the choice FineWeb-style pipelines debate).
 
     Output: ``canonical_url`` + every input column of the winning row.
     """
+    if keep not in ("latest", "first"):
+        raise ValueError(f"keep must be 'latest' or 'first', got {keep!r}")
     payload = [c for c in df.columns]
-    # min(struct(-micros, url, payload)) == argmax(ts, tie-min url): a
-    # commutative aggregate, so Spark combines map-side — unlike a
+    # min(struct(±micros, url, payload)) == arg-extreme(ts, tie-min url):
+    # a commutative aggregate, so Spark combines map-side — unlike a
     # row_number window, which must co-locate and sort every fetch of a
     # hot URL in one task
+    micros = F.unix_micros(F.col(ts_col))
     key = F.struct(
         # unix_micros, not cast-to-numeric: timestamp→double casts are
         # ANSI-mode-fragile; micros keep full precision
-        (-F.unix_micros(F.col(ts_col))).alias("neg_ts"),
+        (-micros if keep == "latest" else micros).alias("ord_ts"),
         F.col(url_col).alias("tie_url"),
         F.struct(*payload).alias("row"),
     )

@@ -196,3 +196,24 @@ def test_with_canonical_url_matches_column_form_randomized(spark):
     bad = [(r["url"], r["canonical_url"], r["col_form"])
            for r in both if r["canonical_url"] != r["col_form"]]
     assert not bad, f"{len(bad)} divergences, first: {bad[:3]}"
+
+
+def test_url_dedup_keep_first(spark):
+    from gencore_spark.operators.urldedup import url_dedup
+
+    rows = [
+        (1, "https://ex.org/a", "2024-01-01 00:00:00"),
+        (2, "https://ex.org/a?utm_x=1", "2024-03-01 00:00:00"),  # later recrawl
+        (3, "https://ex.org/b", "2024-02-01 00:00:00"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    latest = {r["canonical_url"]: r["doc_id"] for r in url_dedup(d).collect()}
+    first = {r["canonical_url"]: r["doc_id"] for r in url_dedup(d, keep="first").collect()}
+    assert latest["https://ex.org/a"] == 2
+    assert first["https://ex.org/a"] == 1
+    assert latest["https://ex.org/b"] == first["https://ex.org/b"] == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        url_dedup(d, keep="newest")
