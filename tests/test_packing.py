@@ -128,16 +128,21 @@ def test_stratified_sample_rates_and_determinism(spark):
 
 
 def test_stratified_sample_keeps_split_proportions(spark):
-    # the sample reuses hash_split's bucket, so sampling then splitting
-    # keeps each stratum's train/val/test ratios (sub-bucket containment:
-    # rate r keeps buckets [0, r*10000), train is [0, 9800))
+    # the sampling hash is INDEPENDENT of hash_split's bucket, so sampling
+    # then splitting keeps each stratum's train/val/test ratios — a
+    # downsampled stratum must still reach val and test (the sample-bucket
+    # reuse bug starved them to zero)
     from gencore_spark.operators.packing import hash_split, stratified_sample
 
-    d = spark.range(0, 50_000).withColumnRenamed("id", "doc_id").withColumn("lang", F.lit("en"))
+    d = spark.range(0, 100_000).withColumnRenamed("id", "doc_id").withColumn("lang", F.lit("en"))
     s = hash_split(stratified_sample(d, {"en": 0.5}))
     got = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
-    # buckets < 5000 are all train (train is buckets < 9800)
-    assert set(got) == {"train"}
+    assert set(got) == {"train", "val", "test"}
+    total = sum(got.values())
+    assert abs(total / 100_000 - 0.5) < 0.02
+    assert abs(got["train"] / total - 0.98) < 0.005
+    assert abs(got["val"] / total - 0.01) < 0.005
+    assert abs(got["test"] / total - 0.01) < 0.005
 
 
 def test_stratified_sample_is_narrow(spark):
