@@ -922,9 +922,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 half.alias("text"),
             )
         )
-        return containment_candidates(corp)
+        # md5 digest: the bottom-k sketch orders by digest BYTES, so the
+        # DuckDB twin must compute the identical digest (pipeline default
+        # is 8-byte xxhash64 — same plan shape, plan-pinned in pytest)
+        return containment_candidates(corp, digest="md5")
 
     q["containment_pairs"] = containment_pairs
+
+    def containment_dedup_q(spark, sf_dir):
+        # the CONSUMER of the candidates: exact gram-set containment
+        # re-verify + superset-wins collapse.  Same planted corpus as
+        # containment_pairs — every half doc (+3e7) must fold into its
+        # source, everything else survives as its own canonical
+        from gencore_spark.operators.containment import containment_dedup
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        words = F.split(F.trim("text"), r"\s+")
+        half = F.array_join(
+            F.slice(
+                words, 1, F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+            ),
+            " ",
+        )
+        corp = d.unionByName(
+            d.filter(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                half.alias("text"),
+            )
+        )
+        return containment_dedup(corp, digest="md5")
+
+    q["containment_dedup"] = containment_dedup_q
 
     def corpus_curation_e2e(spark, sf_dir):
         # the full training-data tail as ONE composition (curation.py):
@@ -1482,6 +1510,66 @@ def oracle_sql() -> dict[str, str]:
                    round(m / CAST(k_eff AS DOUBLE), 6) AS est_containment
             FROM pairs
             WHERE round(m / CAST(k_eff AS DOUBLE), 6) >= 0.8
+        """,
+        "containment_dedup": r"""
+            WITH corp AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 30000000,
+                     array_to_string(list_slice(
+                       string_split_regex(trim(text), '\s+'), 1,
+                       CAST(ceil(len(string_split_regex(trim(text),
+                         '\s+')) / 2.0) AS INT)), ' ')
+              FROM documents WHERE doc_id % 10 = 6
+            ),
+            w AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS ws
+                  FROM corp),
+            g0 AS (SELECT doc_id,
+                          CASE WHEN len(ws) >= 8 THEN
+                            list_distinct([ws[i+1] || ' ' || ws[i+2] || ' '
+                              || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5]
+                              || ' ' || ws[i+6] || ' ' || ws[i+7] || ' '
+                              || ws[i+8] FOR i IN range(len(ws) - 7)])
+                          ELSE [] END AS gs
+                   FROM w),
+            g AS (SELECT doc_id, md5(unnest(gs)) AS gh FROM g0),
+            rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g
+                                     GROUP BY 1) WHERE df <= 64),
+            p AS (SELECT g.doc_id, g.gh FROM g JOIN rare USING (gh)),
+            sk AS (SELECT doc_id,
+                          list_slice(list(gh ORDER BY gh), 1, 16) AS bk
+                   FROM p GROUP BY doc_id),
+            probes AS (SELECT doc_id AS id_a,
+                              least(len(bk), 16) AS k_eff,
+                              unnest(bk) AS gh
+                       FROM sk),
+            cand0 AS (SELECT id_a, p.doc_id AS id_b,
+                             count(*) AS m0, any_value(k_eff) AS k_eff
+                      FROM probes JOIN p USING (gh)
+                      WHERE id_a <> p.doc_id
+                      GROUP BY 1, 2),
+            cands AS (SELECT id_a, id_b FROM cand0
+                      WHERE round(m0 / CAST(k_eff AS DOUBLE), 6) >= 0.8),
+            -- exact re-verify: true containment over FULL gram sets
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+            mm AS (SELECT c.id_a, c.id_b, count(*) AS m
+                   FROM cands c
+                   JOIN g ga ON ga.doc_id = c.id_a
+                   JOIN g gb ON gb.doc_id = c.id_b AND gb.gh = ga.gh
+                   GROUP BY 1, 2),
+            ver AS (SELECT mm.id_a, mm.id_b, b.sz AS sz_b
+                    FROM mm JOIN sz a ON a.doc_id = mm.id_a
+                            JOIN sz b ON b.doc_id = mm.id_b
+                    WHERE round(mm.m / CAST(a.sz AS DOUBLE), 6) >= 0.9
+                      AND (b.sz > a.sz
+                           OR (b.sz = a.sz AND mm.id_b < mm.id_a))),
+            el AS (SELECT id_a AS doc_id,
+                          first(id_b ORDER BY sz_b DESC, id_b ASC) AS canon
+                   FROM ver GROUP BY 1)
+            SELECT corp.doc_id,
+                   coalesce(el.canon, corp.doc_id) AS canonical_id
+            FROM corp LEFT JOIN el USING (doc_id)
         """,
         "script_mix": r"""
             WITH corp AS (
