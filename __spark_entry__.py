@@ -1630,10 +1630,11 @@ def oracle_sql() -> dict[str, str]:
                        AS text
               FROM documents WHERE doc_id % 100 = 1
             ),
-            tok AS (SELECT doc_id,
-                           unnest(string_split_regex(lower(trim(text)),
-                                  '\s+')) AS term
-                    FROM documents),
+            tok0 AS (SELECT doc_id,
+                            unnest(string_split_regex(lower(trim(text)),
+                                   '\s+')) AS term
+                     FROM documents),
+            tok AS (SELECT * FROM tok0 WHERE term <> ''),
             tf AS (SELECT doc_id, term, count(*) AS tf
                    FROM tok GROUP BY 1, 2),
             dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -1656,10 +1657,11 @@ def oracle_sql() -> dict[str, str]:
                               AS comp
                      FROM tf JOIN dl USING (doc_id)
                              JOIN dft USING (term) CROSS JOIN st),
-            qt AS (SELECT DISTINCT query_id,
-                          unnest(list_distinct(string_split_regex(
-                            lower(trim(text)), '\s+'))) AS term
-                   FROM q),
+            qt AS (SELECT * FROM (
+                     SELECT DISTINCT query_id,
+                            unnest(list_distinct(string_split_regex(
+                              lower(trim(text)), '\s+'))) AS term
+                     FROM q) WHERE term <> ''),
             sc AS (SELECT query_id, doc_id,
                           round(sum(comp), 6) AS score
                    FROM post JOIN qt USING (term) GROUP BY 1, 2),

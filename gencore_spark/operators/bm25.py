@@ -47,13 +47,31 @@ def bm25_topk(
     text_col: str = "text",
     qid_col: str = "query_id",
     qtext_col: str = "text",
+    query_tf: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): the ``k`` best-scoring docs per
-    query, rank 1-based by (score desc, doc_id asc) — deterministic."""
+    query, rank 1-based by (score desc, doc_id asc) — deterministic.
+
+    ``query_tf=True`` weights each matched term's contribution by its
+    frequency IN THE QUERY (the long-query/passage form — relevant for
+    leaked-passage forensics where the probe repeats phrases); the default
+    treats query terms as a set, the standard short-query form.
+
+    Empty tokens never score: ``F.split`` of an empty/whitespace-only text
+    yields ``['']``, which (unfiltered) would give every empty doc a ``''``
+    term with tf=1, pollute the df statistics, and let a whitespace query
+    term match every empty doc — both explodes filter ``term != ''`` so
+    tf/df and dl/avgdl agree that an empty doc has no terms.
+
+    idf is Lucene's ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — strictly
+    positive, no floor needed; a probe term absent from the corpus (df
+    would be 0) simply matches no postings row and contributes nothing,
+    so the df=0 branch is unreachable by construction.
+    """
     terms = lambda t: F.split(F.lower(F.trim(t)), r"\s+")
     exploded = corpus.select(
         F.col(id_col), F.explode(terms(F.col(text_col))).alias("term")
-    )
+    ).filter(F.col("term") != "")
     tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = corpus.select(
@@ -83,14 +101,24 @@ def bm25_topk(
             ).alias("comp"),
         )
     )
-    qterms = queries.select(
-        F.col(qid_col),
-        F.explode(F.array_distinct(terms(F.col(qtext_col)))).alias("term"),
-    )
+    if query_tf:
+        qterms = (
+            queries.select(
+                F.col(qid_col), F.explode(terms(F.col(qtext_col))).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy(qid_col, "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("qtf"))
+        )
+    else:
+        qterms = queries.select(
+            F.col(qid_col),
+            F.explode(F.array_distinct(terms(F.col(qtext_col)))).alias("term"),
+        ).filter(F.col("term") != "").withColumn("qtf", F.lit(1.0))
     scores = (
         postings.join(F.broadcast(qterms), "term")
         .groupBy(qid_col, id_col)
-        .agg(F.round(F.sum("comp"), 6).alias("score"))
+        .agg(F.round(F.sum(F.col("comp") * F.col("qtf")), 6).alias("score"))
     )
     # two-phase top-k: local slice per (query, source partition), then a
     # window over <= k x P candidates per query

@@ -50,3 +50,29 @@ def test_no_match_returns_empty(spark):
     d = _corpus(spark)
     qs = spark.createDataFrame([(1, "zzz qqq xxx")], "query_id long, text string")
     assert bm25_topk(d, qs, k=3).count() == 0
+
+
+def test_empty_docs_never_match(spark):
+    # split('') yields [''] — unfiltered, an empty doc would carry a ''
+    # term (tf=1, df polluted) and a whitespace-only query would match it
+    rows = [(1, ""), (2, "   "), (3, "real words here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "  "), (2, "real words")], "query_id long, text string"
+    )
+    out = bm25_topk(d, qs, k=5).collect()
+    assert all(r["doc_id"] == 3 for r in out)  # empty docs never surface
+    assert {r["query_id"] for r in out} == {2}  # whitespace query matches nothing
+
+
+def test_query_tf_weighting(spark):
+    d = _corpus(spark)
+    # repeated query term doubles its contribution under query_tf=True;
+    # with set semantics both queries score identically
+    q1 = spark.createDataFrame([(1, "gardening")], "query_id long, text string")
+    q2 = spark.createDataFrame([(1, "gardening gardening")], "query_id long, text string")
+    s_set = bm25_topk(d, q2, k=1).collect()[0]["score"]
+    s_one = bm25_topk(d, q1, k=1, query_tf=True).collect()[0]["score"]
+    s_two = bm25_topk(d, q2, k=1, query_tf=True).collect()[0]["score"]
+    assert abs(s_set - s_one) < 1e-9   # default == tf on a distinct query
+    assert abs(s_two - 2 * s_one) < 1e-6
