@@ -70,3 +70,14 @@ def test_domain_cap_mega_domain_is_spread_before_final_window(spark):
     assert "__pid" in plan.split("Window")[-1] or "__pid" in plan
     out = domain_cap(d, cap=5).collect()
     assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_domain_cap_payload_never_enters_agg_buffer(spark):
+    # memory contract: phase 1 collect_lists bare order keys, never the
+    # payload row — a text-heavy mega-domain in one input partition must
+    # not be buffered whole.  The aggregate subtree must not see `text`.
+    d = _docs(spark, n=200, domains=1)
+    plan = domain_cap(d, cap=5)._jdf.queryExecution().executedPlan().toString()
+    agg_frags = [f for f in plan.split("\n") if "collect_list" in f]
+    assert agg_frags and all("text" not in f for f in agg_frags)
+    assert "collect_list(struct" not in plan.replace(" ", "")
