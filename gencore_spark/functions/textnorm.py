@@ -29,18 +29,40 @@ _SCRIPT_STYLE_RE = re.compile(
     rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
 )
 _TAG_RE = re.compile(rb"<[^>]*>")
-# the five XML predefined entities, decoded AFTER tag removal so markup
-# escaped as text (&lt;b&gt;) never becomes a tag.  &amp; is decoded LAST:
-# double-escaped input (&amp;lt;) correctly yields the literal text "&lt;"
-# (one level of decoding, per spec), because "&lt;" never substring-matches
-# inside "&amp;lt;".
-_ENTITIES = (
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&apos;", "'"),
-    ("&amp;", "&"),
+# Entity decoding happens AFTER tag removal so markup escaped as text
+# (&lt;b&gt;) never becomes a tag, and in ONE combined left-to-right
+# regex pass — the five XML predefined entities plus numeric character
+# references (&#NNNN; / &#xHHHH;) together.  A single pass is exactly one
+# level of decoding by construction (re.sub never rescans replacement
+# output): "&amp;lt;" → "&lt;", "&#38;lt;" → "&lt;", "&amp;#39;" →
+# "&#39;" — sequential replace passes would double-decode all three.
+_XML_NAMED = {"lt": "<", "gt": ">", "quot": '"', "apos": "'", "amp": "&"}
+_ENTITY_RE = re.compile(
+    r"&(?:#[xX]([0-9a-fA-F]{1,6})|#([0-9]{1,7})|(lt|gt|quot|apos|amp));"
 )
+# HTML5 §13.2.5.80 (numeric character reference end state): codepoints in
+# the C1 control range decode as their windows-1252 characters — the
+# common-web smart-quote/dash case (&#147; → U+201C).  Public spec table;
+# 0x81/0x8D/0x8F/0x90/0x9D map to themselves.
+_C1_WIN1252 = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+
+def _decode_entity(m: re.Match) -> str:
+    if m.group(3):
+        return _XML_NAMED[m.group(3)]
+    cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+    cp = _C1_WIN1252.get(cp, cp)
+    # HTML5: NUL, surrogates, and out-of-range all decode to U+FFFD
+    if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+        return "�"
+    return chr(cp)
 # pinned to Java's non-unicode \s — [ \t\n\x0B\f\r] — so this Python mirror
 # and the pipeline's JVM expression (operators.exact.normalize_expr) produce
 # byte-identical output
@@ -49,21 +71,22 @@ _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 def extract_text(html: bytes) -> str:
     """Strip script/style bodies + markup tags from ``html`` bytes, decode
-    utf-8, then decode the five XML predefined entities.
+    utf-8, then decode numeric character references (``&#8217;`` /
+    ``&#x2019;``, one level, HTML5 semantics incl. the windows-1252 C1
+    table) and the five XML predefined entities.
 
-    Deterministic and locale-free: pure byte-regexes + fixed string
-    replacements, no numeric character references, no whitespace rewriting —
-    so the byte-identical invariant is checkable by equality.  (A production
-    system would plug trafilatura-style extraction here; the contract —
-    bytes in, exact text out — is the same.)
+    Deterministic and locale-free: pure byte-regexes + fixed string/table
+    replacements, no whitespace rewriting — so the byte-identical
+    invariant is checkable by equality.  (A production system would plug
+    trafilatura-style extraction here; the contract — bytes in, exact
+    text out — is the same.)
     """
     if html is None:
         return ""
     stripped = _TAG_RE.sub(b"", _SCRIPT_STYLE_RE.sub(b"", html))
     text = stripped.decode("utf-8", errors="replace")
-    for entity, ch in _ENTITIES:
-        if entity in text:
-            text = text.replace(entity, ch)
+    if "&" in text:
+        text = _ENTITY_RE.sub(_decode_entity, text)
     return text
 
 

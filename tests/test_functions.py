@@ -204,6 +204,23 @@ def test_extract_text_entities_and_script_style():
     assert extract_text(b"<script>\nline1\nline2\n</script>ok") == "ok"
 
 
+def test_extract_text_numeric_character_references():
+    # decimal and hex NCRs decode to their codepoints
+    assert extract_text(b"it&#8217;s &#x2019; fine") == "it’s ’ fine"
+    assert extract_text(b"A&#66;C &#X48;i") == "ABC Hi"
+    # HTML5 windows-1252 C1 table: &#147;/&#148; are curly quotes
+    assert extract_text(b"&#147;quoted&#148; &#150; dash") == "“quoted” – dash"
+    # NUL / surrogate / out-of-range -> U+FFFD (HTML5)
+    assert extract_text(b"&#0; &#55296; &#1114112;") == "� � �"
+    # exactly ONE level of decoding, in one left-to-right pass:
+    # &amp;#39; and &#38;#39; both yield the literal "&#39;"
+    assert extract_text(b"x &amp;#39; y") == "x &#39; y"
+    assert extract_text(b"x &#38;#39; y") == "x &#39; y"
+    assert extract_text(b"x &#38;lt; y") == "x &lt; y"
+    # malformed references pass through untouched
+    assert extract_text(b"&#; &#x; &#xZZ; & #39;") == "&#; &#x; &#xZZ; & #39;"
+
+
 def test_normalize_for_shingling():
     assert normalize_for_shingling("  Foo\t\tBAR\n baz  ") == "foo bar baz"
     assert normalize_for_shingling(None) == ""
