@@ -678,6 +678,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pages_dedup_fixture_e2e"] = pages_dedup_fixture_e2e
 
+    def curation_near_dup_fixture(spark, sf_dir):
+        # The near_dup=True stage of curate_corpus, pinned at fixture scale
+        # (r4 VERDICT #6): the full curation composition runs on the seeded
+        # n=1000 corpus with near-dup clustering ON, and the per-kind
+        # survivor count must equal the closed-form CLUSTER count
+        # (_FIXTURE_E2E_EXPECTED.n_clusters, first-principles-recomputed by
+        # tests/test_fixture_oracle.py).  Why counts collapse to clusters:
+        # url_dedup folds refetch/mirror url variants (one survivor per
+        # canonical url, still inside its planted group), exact collapse
+        # keeps one row per byte-identical text, the near-dup stage keeps
+        # the min-id member per engine cluster — and every later stage is
+        # droppable-free here (single-line distinct texts -> line dedup
+        # removes nothing; gibberish vocab has no punct/digits and >=34
+        # tokens -> quality 1.0 passes the default gate; no eval set, no
+        # sampling; split/packing never drop).  Engine clusters == planted
+        # groups at n=1000 (margin-gap pinned), so kinds are homogeneous
+        # per survivor.
+        from gencore_spark.fixtures import pages_with_truth
+        from gencore_spark.operators.curation import curate_corpus
+
+        full, _spec = pages_with_truth(spark, _FIXTURE_E2E_N)
+        docs = full.select(
+            F.col("doc_index").alias("doc_id"), "url", "warc_ts", "lang", "text"
+        )
+        out = curate_corpus(docs, near_dup=True)
+        truth = full.select(F.col("doc_index").alias("doc_id"), "dup_kind")
+        return (
+            out.join(truth, "doc_id")
+            .groupBy("dup_kind")
+            .agg(F.count(F.lit(1)).alias("n_survivors"))
+        )
+
+    q["curation_near_dup_fixture"] = curation_near_dup_fixture
+
     # ---- repetition / duplicated-passage quality signals (LLM-pipeline
     # extension; Gopher §A1.1 / Dolma-style corpus-wide dup content) ----
 
@@ -1096,6 +1130,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_docs AS BIGINT) AS n_docs,
                    CAST(sum_rr AS BIGINT) AS sum_rr,
                    CAST(n_low_conf AS BIGINT) AS n_low_conf
+            FROM (VALUES {fixture_vals})
+                 t(dup_kind, n_clusters, n_docs, sum_rr, n_low_conf)
+        """,
+        # curate_corpus(near_dup=True) at fixture scale: survivors per kind
+        # == clusters per kind (derivation in the queries() docstring; the
+        # n_clusters constants are first-principles-pinned by
+        # tests/test_fixture_oracle.py).
+        "curation_near_dup_fixture": f"""
+            SELECT dup_kind, CAST(n_clusters AS BIGINT) AS n_survivors
             FROM (VALUES {fixture_vals})
                  t(dup_kind, n_clusters, n_docs, sum_rr, n_low_conf)
         """,
