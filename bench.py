@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dup_passage_frac",
     "decontam_flags",
     "pii_scrub_signals",
+    "containment_dedup",
     "corpus_curation_e2e",
     "ann_cosine_topk",
     "revenue_by_priority",

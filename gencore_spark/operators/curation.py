@@ -21,10 +21,15 @@ order a pretraining corpus actually needs:
    streams); val/test stay unsharded (``shard_id`` NULL).
 
 Near-duplicate clustering (MinHash/SimHash, `dedup_variants.py`) slots in
-between 2 and 3 via ``near_dup=True``; it is off by default here because
-the composition below is exactly SQL-expressible end to end, which is what
+between 2 and 3 via ``near_dup=True``, and containment (truncation)
+collapse (`containment.py::containment_dedup` — the near-subset case
+whose Jaccard is far below any near-dup threshold) after it via
+``containment=True``; both are off by default here because the
+composition below is exactly SQL-expressible end to end, which is what
 makes ``corpus_curation_e2e`` a checkable oracle row rather than a
-rows-only smoke test.
+rows-only smoke test (the near-dup path has its own fixture-scale oracle
+row, ``curation_near_dup_fixture``; the containment stage reuses the
+oracle-green ``containment_dedup`` engine and is pinned by pytest).
 
 Scale shape (the part that must survive 1000 executors × 100 TB):
 
@@ -66,6 +71,7 @@ def curate_corpus(
     token_budget: int = 2000,
     split_weights: dict[str, float] | None = None,
     near_dup: bool = False,
+    containment: bool = False,
     max_docs_per_domain: int | None = None,
     attrition: dict | None = None,
     id_col: str = "doc_id",
@@ -83,9 +89,10 @@ def curate_corpus(
     Pass an empty dict as ``attrition`` to get per-stage survivor counts
     (the curation REPORT, sibling of ``dedup_pages``'s REPORT.json):
     ``docs_in``, ``after_url_dedup``, ``after_domain_cap``,
-    ``after_exact``, ``after_near_dup``, ``boilerplate_lines_removed``,
-    ``after_quality_gate``, ``after_decontam``, ``after_sample``, and
-    ``splits`` (rows per split).  Counting forces one extra scan per
+    ``after_exact``, ``after_near_dup``, ``after_containment``,
+    ``boilerplate_lines_removed``, ``after_quality_gate``,
+    ``after_decontam``, ``after_sample``, and ``splits`` (rows per
+    split).  Counting forces one extra scan per
     stage boundary AT CALL TIME — an opt-in cost; the default path's only
     call-time work is the packing offsets collect (P numbers, by design).
     Absent stages are simply not reported.
@@ -149,6 +156,25 @@ def curate_corpus(
         d = d.join(winners, id_col, "left_semi")
         if track:
             attrition["after_near_dup"] = d.count()
+
+    # -- 2c. optional containment (truncation) collapse — the Jaccard-miss
+    # case near-dup structurally can't catch (a half-doc is ~0.5 Jaccard to
+    # its source but ~1.0 contained in it): fold verified-contained docs
+    # into their superset, keep only the supersets.  Runs AFTER near-dup so
+    # the candidate index is built over cluster winners, not every variant.
+    if containment:
+        from .containment import containment_dedup
+
+        folded = containment_dedup(
+            d.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+        )
+        keep = folded.filter(F.col("canonical_id") == F.col("doc_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        d = d.join(keep, id_col, "left_semi")
+        if track:
+            attrition["after_containment"] = d.count()
 
     # -- 3. boilerplate line dedup; the deduped text replaces the original
     ld = line_dedup(d, text_col=text_col, id_col=id_col, min_dup_docs=line_min_dup_docs)

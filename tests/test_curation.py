@@ -106,6 +106,25 @@ def test_curate_near_dup_flag_collapses_clusters(spark):
     assert with_nd == {1, 3}      # near-dup collapse elects the min id
 
 
+def test_curate_containment_flag_folds_truncations(spark):
+    # a prefix-half truncation: Jaccard(half, whole) ~ 0.5, so near_dup
+    # alone keeps it — containment=True is the stage that folds it
+    whole = " ".join(f"alpha{j} beta{j}" for j in range(30))   # 60 words
+    half = " ".join(whole.split()[:30])
+    other = " ".join(f"gamma{j}" for j in range(40))
+    rows = [(1, whole, "en"), (2, half, "en"), (3, other, "en")]
+    d = _mk_docs(spark, rows)
+    nd_only = {r["doc_id"] for r in
+               curate_corpus(d, min_quality=0.0, near_dup=True).collect()}
+    att: dict = {}
+    both = {r["doc_id"] for r in
+            curate_corpus(d, min_quality=0.0, near_dup=True,
+                          containment=True, attrition=att).collect()}
+    assert nd_only == {1, 2, 3}   # half survives near-dup (the miss case)
+    assert both == {1, 3}         # containment folds half into whole
+    assert att["after_near_dup"] == 3 and att["after_containment"] == 2
+
+
 def test_curate_domain_cap_limits_spam_domain(spark):
     # 8 docs from a link farm + 2 from a normal site; cap=2 keeps the
     # first two farm docs (ascending id) and everything else
