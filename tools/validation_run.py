@@ -123,7 +123,7 @@ def main() -> None:
                 k: v.get("t_elapsed_sec") for k, v in stages.items()
                 if isinstance(v, dict) and "t_elapsed_sec" in v
             },
-            "cluster_size_histogram_head": rep.get("lineage", {}).get(
+            "cluster_size_histogram_head": stages.get("lineage", {}).get(
                 "cluster_size_histogram", []
             )[:8],
         }
