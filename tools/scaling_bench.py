@@ -183,8 +183,28 @@ def main() -> None:
         # neighbor as much as the job; best-of-k measures capability
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+        # optional quiet-gate: the host's co-tenant arrives in bursts that
+        # last minutes-to-tens-of-minutes (BENCH/BASELINE.md load columns);
+        # SPARK_GRAFT_SCALING_QUIETGATE=<load> polls the 1-min loadavg
+        # every 30 s before each timed leg and starts it only once load is
+        # below the gate (capped at SPARK_GRAFT_SCALING_QUIETWAIT seconds,
+        # default 1800, then proceeds regardless).  The gate only schedules
+        # the leg's START; the leg itself still records load_before/after
+        # honestly, so a co-tenant arriving mid-leg stays visible.
+        gate = float(os.environ.get("SPARK_GRAFT_SCALING_QUIETGATE", "0") or 0)
+        gate_wait = float(os.environ.get("SPARK_GRAFT_SCALING_QUIETWAIT", "1800"))
         for rep in range(repeats):
             for cores in LEVELS:
+                if gate > 0:
+                    waited = 0.0
+                    while os.getloadavg()[0] > gate and waited < gate_wait:
+                        time.sleep(30)
+                        waited += 30
+                    print(json.dumps({
+                        "quietgate": gate, "waited_sec": waited,
+                        "load_at_start": round(os.getloadavg()[0], 2),
+                        "cores": cores, "rep": rep,
+                    }), flush=True)
                 workdir = os.path.join(tmp, f"work{cores}_{rep}")
                 shutil.rmtree(workdir, ignore_errors=True)
                 # bind the whole process tree (JVM + Python workers) to
