@@ -83,9 +83,18 @@ def run_level(cores: int, pages_path: str, workdir: str) -> None:
     from gencore_spark.plans import driver_stage_metrics
     from gencore_spark.session import get_spark
 
+    # Tasks per core wave: shuffle_partitions = mult × cores.  The
+    # original harness choice (mult=1, one task per slot per stage) turned
+    # out to be the anti-pattern the Spark tuning guide warns about — at
+    # 600k pages it produced 8 giant tasks whose allocation spikes drove
+    # 350-400 s of GC CPU and a 0.92 slot occupancy on stage tails, both
+    # of which vanish at mult=2 (gc_ab 2026-08-19: wall 373→300 s, GC
+    # 387→109 s at the same heap).  Production guidance is 2-3 tasks per
+    # core; mult applies identically to BOTH legs so the ratio stays fair.
+    mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
     spark = get_spark(
         app_name=f"scaling-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        shuffle_partitions=mult * cores,
         # UI on for the REST task-metric totals (wall-noise-immune CPU
         # decomposition); retain enough stages to cover the whole pipeline
         extra={"spark.ui.enabled": "true", "spark.ui.retainedStages": "4000"},
