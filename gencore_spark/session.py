@@ -87,6 +87,12 @@ def get_spark(
 ) -> SparkSession:
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cores}]"
+    # Default 1 task per slot suits the benchmarked small-per-core volumes
+    # (60k pages / 32 cores: 2-3x partitions measured slightly worse, AQE
+    # already coalesces).  At >=75k pages/core raise to 2x cores: the 600k/
+    # 8-core A/B (tools/gc_ab.py, BENCH/BASELINE.md 2026-08-19) measured
+    # -20% wall and -72% GC CPU from halving task granularity - giant
+    # tasks' allocation spikes drive GC storms and stage tails idle slots.
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cores))
     # width for JVM sizing: local[N] parses to N; any non-local master
     # (cluster runs size executors via spark.executor.memory/cores)
