@@ -242,8 +242,15 @@ def main() -> None:
         lo, hi = results[0], results[-1]
         ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
         eff = ratio / (hi["cores"] / lo["cores"])
+        # harness configuration, recorded in-band so the artifact is
+        # self-describing (the 20:24 UTC 1→4 run's mult had to be
+        # recovered from the launch plan — never again)
+        config = {
+            "shuffle_mult": int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1")),
+            "quietgate": gate, "repeats": repeats, "levels_order": LEVELS,
+        }
         print(json.dumps({
-            "n_pages": n_pages, "levels": results,
+            "n_pages": n_pages, "levels": results, "config": config,
             "speedup": round(ratio, 3),
             "scaling_efficiency": round(eff, 3), "target": 0.8,
         }))
@@ -268,6 +275,8 @@ def main() -> None:
                 + f"\nspeedup {lo['cores']}→{hi['cores']} cores: "
                 f"**{ratio:.2f}x**; scaling efficiency: **{eff:.3f}** "
                 f"(target ≥ 0.8)\n"
+                f"\nharness config: shuffle_mult={config['shuffle_mult']}, "
+                f"quietgate={gate}, repeats={repeats}\n"
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
