@@ -1082,6 +1082,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_top100"] = vocab_top100
 
+    def lm_perplexity(spark, sf_dir):
+        # CCNet-style quality signal: bigram-LM perplexity under a model
+        # trained on the corpus itself (self-perplexity ranks statistical
+        # outliers when no external clean corpus exists)
+        from gencore_spark.operators.lm import bigram_lm_score
+
+        return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+    q["lm_perplexity"] = lm_perplexity
+
+    def intradoc_line_dedup_docs(spark, sf_dir):
+        # corpus with planted WITHIN-document repetition: a promo line
+        # that brackets the body and a doubled body line — the first
+        # occurrence of each must survive, the repeats must not; the
+        # between-docs sibling (line_dedup_docs) must NOT fire here since
+        # each doc's planted lines embed its own doc_id
+        from gencore_spark.operators.lines import intradoc_line_dedup
+
+        did = F.col("doc_id").cast("string")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("Subscribe now "), did),
+                F.col("text"),
+                F.concat(F.lit("Subscribe now "), did),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return intradoc_line_dedup(d)
+
+    q["intradoc_line_dedup"] = intradoc_line_dedup_docs
+
     return q
 
 
@@ -2293,6 +2326,78 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_occurrences DESC, word ASC
             LIMIT 100
+        """,
+        # bigram LM with add-1 smoothing, self-trained: P(w2|w1) =
+        # (C12+1)/(C1+V) with C1 = w1's count as bigram LEFT context and V
+        # = |vocab|; perplexity computed from the 6dp-ROUNDED avg logprob
+        # on both sides so float summation order cannot flip a digit
+        "lm_perplexity": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> len(x) > 0) AS ws
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, len(ws) AS n_tokens,
+                     CASE WHEN len(ws) >= 2 THEN
+                       [{'w1': ws[i + 1], 'w2': ws[i + 2]}
+                        FOR i IN range(len(ws) - 1)]
+                     ELSE [] END AS bgs
+              FROM w
+            ),
+            e AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+                  FROM (SELECT doc_id, unnest(bgs) AS s FROM p)),
+            c12 AS (SELECT w1, w2, count(*) AS n12 FROM e GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+            v AS (SELECT count(DISTINCT x) AS vocab
+                  FROM (SELECT unnest(ws) AS x FROM w)),
+            sc AS (
+              SELECT e.doc_id, count(*) AS n_bigrams,
+                     avg(ln((n12 + 1.0) / (n1 + 1.0 * vocab))) AS avg_lp
+              FROM e JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                   CROSS JOIN v
+              GROUP BY 1
+            )
+            SELECT p.doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(avg_lp, 6) AS avg_logprob,
+                   round(exp(-round(avg_lp, 6)), 4) AS perplexity
+            FROM p LEFT JOIN sc USING (doc_id)
+        """,
+        "intradoc_line_dedup": r"""
+            WITH corp AS (
+              SELECT doc_id,
+                     'Subscribe now ' || doc_id || chr(10) || text ||
+                     chr(10) || 'Subscribe now ' || doc_id || chr(10) ||
+                     text AS text
+              FROM documents
+            ),
+            w AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM corp),
+            l AS (SELECT doc_id,
+                         unnest([{'pos': i, 'line': ls[i + 1]}
+                                 FOR i IN range(len(ls))]) AS s
+                  FROM w),
+            ne AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM l
+                   WHERE len(trim(s.line)) > 0),
+            f AS (SELECT doc_id, trim(line) AS k, min(pos) AS fpos,
+                         arg_min(line, pos) AS fline,
+                         count(*) - 1 AS n_repeats
+                  FROM ne GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(fline, chr(10) ORDER BY fpos) AS text_dedup,
+                     count(*) + sum(n_repeats) AS n_lines,
+                     sum(n_repeats) AS n_removed
+              FROM f GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(a.text_dedup, '') AS text_dedup,
+                   CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }
     # The incremental-consolidation e2e must be indistinguishable from a

@@ -100,3 +100,73 @@ def line_dedup(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def intradoc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence in document order.
+
+    The within-document sibling of :func:`line_dedup`: scraped pages
+    repeat their own promo banners / nav blocks several times per page,
+    and a template page can be the only holder of its banner corpus-wide
+    — so cross-document dedup never fires on it.  Dolma ships this as
+    within-document paragraph dedup; the reference's analog is collapsing
+    repeated evidence for the same position before voting
+    (``/root/reference/src/group.cpp:142-175`` counts each supporting
+    read once per locus).
+
+    Output mirrors :func:`line_dedup`: (id, ``text_dedup``, ``n_lines``,
+    ``n_removed``), with empty-after-trim lines dropped unconditionally
+    and the dup key being the trimmed line.
+
+    Scale shape: the entire operator is ONE aggregation keyed on
+    (doc_id, line_key) — earliest occurrence via ``min(struct(pos,
+    line))``, no window, no self-join — followed by the per-doc
+    reassembly groupBy.  Both shuffles are keyed on the doc (or doc +
+    8-byte line hash), so a document's lines never fan out across the
+    corpus the way :func:`line_dedup`'s corpus-wide counts must; this
+    variant is embarrassingly parallel per document.
+    """
+    line = F.col("line")
+    lines = (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .where(F.length(F.trim(line)) > 0)
+        .select(
+            id_col, "pos", "line", F.xxhash64(F.trim(line)).alias("line_key")
+        )
+    )
+    # one pass: per (doc, key) keep the earliest (pos, line) and count the
+    # evicted repeats; min over structs orders by pos first (pos is unique
+    # within a doc, so the line payload never decides the min)
+    firsts = lines.groupBy(id_col, "line_key").agg(
+        F.min(F.struct("pos", "line")).alias("first"),
+        (F.count(F.lit(1)) - 1).alias("n_repeats"),
+    )
+    per_doc = firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("first")), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        (F.count(F.lit(1)) + F.sum("n_repeats")).alias("n_lines"),
+        F.sum("n_repeats").alias("n_removed"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
