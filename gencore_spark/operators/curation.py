@@ -13,6 +13,10 @@ order a pretraining corpus actually needs:
    copies at once.
 3. **boilerplate line dedup** (CCNet-style, `operators/lines.py`).
 4. **quality + length gate** on the line-deduped text.
+4b. **perplexity gate** (optional, ``max_perplexity=``): CCNet-style
+   bigram-LM filter (`operators/lm.py`) — trained on ``lm_train_df``
+   (the clean reference corpus) or self-trained on the survivors;
+   runs in 8-byte-hash digest mode so only long keys shuffle.
 5. **benchmark decontamination**: drop docs sharing an 8-word-gram with
    the eval side (`operators/decontam.py`).
 6. **stratified sampling**: per-stratum rebalance (`packing.py`).
@@ -72,6 +76,8 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     near_dup: bool = False,
     containment: bool = False,
+    max_perplexity: float | None = None,
+    lm_train_df: DataFrame | None = None,
     max_docs_per_domain: int | None = None,
     attrition: dict | None = None,
     id_col: str = "doc_id",
@@ -91,8 +97,8 @@ def curate_corpus(
     ``docs_in``, ``after_url_dedup``, ``after_domain_cap``,
     ``after_exact``, ``after_near_dup``, ``after_containment``,
     ``boilerplate_lines_removed``, ``after_quality_gate``,
-    ``after_decontam``, ``after_sample``, and ``splits`` (rows per
-    split).  Counting forces one extra scan per
+    ``after_perplexity``, ``after_decontam``, ``after_sample``, and
+    ``splits`` (rows per split).  Counting forces one extra scan per
     stage boundary AT CALL TIME — an opt-in cost; the default path's only
     call-time work is the packing offsets collect (P numbers, by design).
     Absent stages are simply not reported.
@@ -193,6 +199,27 @@ def curate_corpus(
     d = d.filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
     if track:
         attrition["after_quality_gate"] = d.count()
+
+    # -- 4b. optional perplexity gate (CCNet): score the post-boilerplate
+    # text under a bigram LM — trained on lm_train_df when given (the
+    # clean reference corpus), else self-trained on the survivors, which
+    # evicts statistical outliers.  digest='xxhash64' so the gram joins
+    # carry 8-byte keys; docs with no bigram evidence (n_bigrams = 0) pass
+    # — content-length policing is the quality gate's job, not the LM's.
+    if max_perplexity is not None:
+        from .lm import bigram_lm_score
+
+        scored = bigram_lm_score(
+            d, text_col=text_col, id_col=id_col,
+            train_df=lm_train_df, digest="xxhash64",
+        )
+        keep_ppl = scored.filter(
+            (F.col("n_bigrams") == 0)
+            | (F.col("perplexity") <= float(max_perplexity))
+        ).select(id_col)
+        d = d.join(keep_ppl, id_col, "left_semi")
+        if track:
+            attrition["after_perplexity"] = d.count()
 
     # -- 5. decontamination (corpus side never shuffles)
     if eval_docs is not None:

@@ -125,6 +125,59 @@ def test_curate_containment_flag_folds_truncations(spark):
     assert att["after_near_dup"] == 3 and att["after_containment"] == 2
 
 
+def test_curate_perplexity_gate_evicts_outliers(spark):
+    # 10 statistically-typical docs + 1 gibberish outlier; the self-trained
+    # bigram LM must rank the outlier's perplexity above the pack and the
+    # max_perplexity gate must evict exactly it (default path keeps all)
+    common = "the quick brown fox jumps over the lazy dog today"
+    # distinct texts (a shared marker suffix) so the exact collapse keeps
+    # all ten; the shared bigram mass still dominates the trained model
+    rows_uniq = [(i, common + f" marker{i}", "en") for i in range(10)]
+    rows_uniq.append((99, "zxq qzx xqz zqx qxz wvu uvw vuw uwv wuv", "en"))
+    d = _mk_docs(spark, rows_uniq)
+    from gencore_spark.operators.lm import bigram_lm_score
+
+    ppl = {r["doc_id"]: r["perplexity"]
+           for r in bigram_lm_score(d).collect()}
+    cut = (max(v for k, v in ppl.items() if k != 99) + ppl[99]) / 2
+    without = {r["doc_id"] for r in
+               curate_corpus(d, min_quality=0.0, min_tokens=5).collect()}
+    att: dict = {}
+    gated = {r["doc_id"] for r in
+             curate_corpus(d, min_quality=0.0, min_tokens=5,
+                           max_perplexity=cut, attrition=att).collect()}
+    assert without == set(range(10)) | {99}
+    assert gated == set(range(10))
+    assert att["after_quality_gate"] == 11 and att["after_perplexity"] == 10
+
+
+def test_curate_perplexity_gate_external_train(spark):
+    # CCNet shape: train on a clean reference corpus; a scored doc made of
+    # train-corpus bigrams passes, an out-of-distribution doc is evicted
+    train = _mk_docs(
+        spark,
+        [(i, "good clean reference text sample number " + str(i), "en")
+         for i in range(5)],
+    )
+    d = _mk_docs(
+        spark,
+        [
+            (1, "good clean reference text sample number one", "en"),
+            (2, "entirely alien vocabulary nowhere near training mass", "en"),
+        ],
+    )
+    from gencore_spark.operators.lm import bigram_lm_score
+
+    ppl = {r["doc_id"]: r["perplexity"]
+           for r in bigram_lm_score(d, train_df=train).collect()}
+    assert ppl[2] > ppl[1]
+    cut = (ppl[1] + ppl[2]) / 2
+    got = {r["doc_id"] for r in
+           curate_corpus(d, min_quality=0.0, min_tokens=5,
+                         max_perplexity=cut, lm_train_df=train).collect()}
+    assert got == {1}
+
+
 def test_curate_domain_cap_limits_spam_domain(spark):
     # 8 docs from a link farm + 2 from a normal site; cap=2 keeps the
     # first two farm docs (ascending id) and everything else
