@@ -1115,6 +1115,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["intradoc_line_dedup"] = intradoc_line_dedup_docs
 
+    def dup_span_scrub_docs(spark, sf_dir):
+        # ExactSubstr-style duplicated-span removal: a 12-word passage is
+        # planted in every 5th doc — its interior 8-grams become
+        # corpus-duplicated and the whole passage must be scrubbed from
+        # every holder (boundary grams mix doc-unique words and never
+        # flag); naturally-shared 8-grams in the synthetic text scrub too
+        # (the oracle recomputes the identical statistics)
+        from gencore_spark.operators.spans import dup_span_scrub
+
+        shared = "the shared spam footer block appended by the template engine here twice"
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" " + shared)),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return dup_span_scrub(d)
+
+    q["dup_span_scrub"] = dup_span_scrub_docs
+
     return q
 
 
@@ -2398,6 +2419,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
                    CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # duplicated-span scrub: grams keyed on the STRING in the oracle
+        # (Spark side uses xxhash64 — identical statistics absent a 64-bit
+        # collision, the dup_passage_frac precedent); cover = union of
+        # [p, p+7] for flagged starts, kept = words at uncovered indices
+        "dup_span_scrub": r"""
+            WITH corp AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text ||
+                       ' the shared spam footer block appended by the template engine here twice'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            w AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> len(x) > 0) AS ws
+                  FROM corp),
+            g AS (SELECT doc_id, ws,
+                         CASE WHEN len(ws) >= 8 THEN
+                           [{'pos': i,
+                             'gram': ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                                     ws[i+3] || ' ' || ws[i+4] || ' ' ||
+                                     ws[i+5] || ' ' || ws[i+6] || ' ' ||
+                                     ws[i+7] || ' ' || ws[i+8]}
+                            FOR i IN range(len(ws) - 7)]
+                         ELSE [] END AS gs
+                  FROM w),
+            e AS (SELECT doc_id, s.pos AS pos, s.gram AS gram
+                  FROM (SELECT doc_id, unnest(gs) AS s FROM g)),
+            dpg AS (SELECT gram FROM e GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            st AS (SELECT e.doc_id, list(e.pos) AS starts
+                   FROM e JOIN dpg USING (gram) GROUP BY 1),
+            cov AS (
+              SELECT w.doc_id, w.ws,
+                     coalesce(
+                       list_distinct(flatten(
+                         [range(p, p + 8) FOR p IN st.starts])),
+                       []) AS covered
+              FROM w LEFT JOIN st USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     [ws[i+1] FOR i IN range(len(ws))
+                      IF NOT list_contains(covered, i)], ' '), '')
+                     AS text_scrub,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(covered) AS BIGINT) AS n_removed
+            FROM cov
         """,
     }
     # The incremental-consolidation e2e must be indistinguishable from a

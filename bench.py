@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "dup_passage_frac",
     "decontam_flags",
     "pii_scrub_signals",
+    "lm_perplexity",
+    "intradoc_line_dedup",
     "containment_dedup",
     "corpus_curation_e2e",
     "ann_cosine_topk",

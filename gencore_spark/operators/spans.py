@@ -1,0 +1,107 @@
+"""Corpus-duplicated span removal (ExactSubstr-style scrubbing).
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") remove any 50-token substring that appears elsewhere in the
+corpus, via a suffix array.  This operator is that behavior re-expressed
+for a distributed engine at word-``n``-gram granularity: a span is
+"corpus-duplicated" when one of its word n-grams occurs in
+``min_dup_docs`` distinct documents, and every word covered by a
+duplicated n-gram is scrubbed from the document.  It COMPLETES the loop
+that :func:`gencore_spark.operators.textstats.duplicate_passage_frac`
+only signals — same gram statistics, but the text is rewritten.
+
+Granularity note (honest contract): a suffix array finds duplicated
+substrings at byte precision; gram cover rounds span boundaries to word
+n-gram extents (a duplicated passage is removed in full, plus nothing —
+boundary grams that mix doc-unique words with the shared passage occur in
+one doc only and never flag).  Within-document self-repeats do NOT flag
+(the count is per distinct document — that case belongs to
+``lines.intradoc_line_dedup`` / ``textstats.repetition_signals``).
+
+Scale shape:
+
+* gram statistics shuffle ``xxhash64`` longs, never passage strings
+  (same 64-bit adjudication as ``duplicate_passage_frac``: at 10^12
+  distinct grams a collision mis-scrubs at <1e-7 relative rate —
+  acceptable for a cleaning filter);
+* the distinct (gram, doc) collapse happens BEFORE the count, so a doc
+  repeating its own passage cannot fake a corpus duplicate;
+* flagged start positions return to their doc as a doc-keyed
+  ``collect_list`` (bounded by words-per-doc), and the cover expansion +
+  index filter are JVM array expressions — no Python anywhere;
+* document words move exactly once into the final doc-keyed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import word_ngrams
+
+
+def dup_span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Remove every word covered by a corpus-duplicated ``n``-gram.
+
+    Output, one row per input document:
+
+    * ``text_scrub`` — surviving words re-joined with single spaces
+      (whitespace-normalized by construction; '' when everything was
+      scrubbed or the doc was empty);
+    * ``n_words``    — word count before scrubbing;
+    * ``n_removed``  — words removed as duplicated-span cover.
+
+    Docs shorter than ``n`` words pass through untouched (no grams).
+    """
+    # bind the split to an attribute BEFORE any higher-order lambda
+    # touches it (CodegenFallback re-evaluation hazard — COVERAGE.md)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    wdf = df.select(F.col(id_col).alias("__id"), words.alias("ws")).select(
+        "__id", F.filter("ws", lambda w: F.length(w) > 0).alias("ws")
+    )
+    grams = wdf.select(
+        "__id", F.posexplode(word_ngrams(F.col("ws"), n)).alias("pos", "gram")
+    ).select("__id", "pos", F.xxhash64("gram").alias("g"))
+    # distinct docs per gram: (g, doc) collapse BEFORE counting
+    docs_per_gram = (
+        grams.select("g", "__id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_dup_docs)
+    )
+    starts = (
+        grams.join(docs_per_gram, "g")
+        .groupBy("__id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    # cover = distinct union of [p, p+n-1] for every flagged start; kept =
+    # words whose index is uncovered.  Both are JVM array expressions;
+    # cover size is bounded by the doc's word count.
+    joined = wdf.join(starts, "__id", "left").select(
+        "__id",
+        "ws",
+        F.coalesce(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda p: F.sequence(p, p + F.lit(n - 1))
+                    )
+                )
+            ),
+            F.array().cast("array<int>"),
+        ).alias("cov"),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(
+            F.filter("ws", lambda w, i: ~F.array_contains("cov", i)), " "
+        ).alias("text_scrub"),
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("cov").cast("long").alias("n_removed"),
+    )
