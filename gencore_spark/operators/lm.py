@@ -33,13 +33,20 @@ Scale shape (what survives 100 TB):
   far smaller than the corpus — so AQE turns the scoring joins into
   broadcasts when they fit and falls back to a key-shuffle join when
   they don't.  Either way the join key is the gram, never the doc;
-* ``digest="xxhash64"`` replaces token strings with 8-byte hashes the
-  moment they are exploded, so the count tables and every shuffle carry
-  longs (the same parity pattern as ``operators/containment.py``:
-  ``digest="words"`` keeps string keys so a SQL oracle can recompute the
-  model exactly — DuckDB has no xxhash64);
-* the only driver-side values are two scalars (V and a train row count)
-  — 1-row aggregations, not data collects.
+* ``digest="xxhash64"`` (the default) replaces token strings with 8-byte
+  hashes the moment they are exploded, so the count tables and every
+  shuffle carry longs.  The SQL oracle computes the same statistics over
+  the strings; they diverge only on a 64-bit hash collision — the
+  ``duplicate_passage_frac`` adjudication: at 10^12 distinct tokens the
+  birthday bound perturbs counts at <1e-7 relative rate, acceptable for
+  a quality *signal* (``digest="words"`` keeps string keys for exact
+  symbolic parity; equivalence of the two modes is pytest-pinned);
+* the only driver-side value is the vocabulary-size scalar — a 1-row
+  aggregation, not a data collect;
+* the result is eagerly pinned (localCheckpoint) so the operator can
+  release its internal caches before returning — output is 5 narrow
+  columns per doc.  At full deployment scale you would land it in a
+  table instead; the eager pin is the library-call ergonomics choice.
 
 Determinism: ``avg_logprob`` is rounded to 6dp and ``perplexity`` is
 computed from the ROUNDED average (then rounded to 4dp), so the oracle
@@ -104,7 +111,8 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     train_df: DataFrame | None = None,
-    digest: str = "words",
+    digest: str = "xxhash64",
+    eager: bool = True,
 ) -> DataFrame:
     """Per-document bigram-LM perplexity under a model trained on
     ``train_df`` (default: ``df`` itself — self-perplexity, the
@@ -127,40 +135,80 @@ def bigram_lm_score(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (smoothing floor), got {alpha}")
+    # the token frame feeds three consumers (vocab scalar, training counts,
+    # per-doc n_tokens) — pin ONE materialization or the regex split +
+    # filter lineage re-runs per consumer (measured with the single-join
+    # model below: 33.5s → ~5s at 60k docs).  Only the eager path caches:
+    # the lazy path (eager=False) deliberately recomputes — the
+    # deployment-scale recompute-over-cache choice, since nothing could
+    # release the cache after the caller's own terminal action.
     tok = _tokens(df, text_col, id_col)
     train_tok = tok if train_df is None else _tokens(train_df, text_col, id_col)
-    train_bg = _bigrams(train_tok, digest)
+    if eager:
+        tok = tok.persist()
+        train_tok = tok if train_df is None else train_tok.persist()
+    try:
+        train_bg = _bigrams(train_tok, digest)
+        # training statistics: bigram counts, left-context counts (derived
+        # from the bigram table — one aggregation feeding the other, so
+        # the conditional normalizes exactly), vocab size (1-row collect)
+        c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+        c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+        vocab_toks = train_tok.select(F.explode("ws").alias("w"))
+        if digest == "xxhash64":
+            vocab_toks = vocab_toks.select(F.xxhash64("w").alias("w"))
+        vocab = vocab_toks.agg(F.countDistinct("w").alias("v")).collect()[0]["v"]
 
-    # training statistics: bigram counts, left-context counts (derived
-    # from the bigram table — one aggregation feeding the other, so the
-    # conditional normalizes exactly), vocabulary size (1-row collect)
-    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    vocab_toks = train_tok.select(F.explode("ws").alias("w"))
-    if digest == "xxhash64":
-        vocab_toks = vocab_toks.select(F.xxhash64("w").alias("w"))
-    vocab = vocab_toks.agg(F.countDistinct("w").alias("v")).collect()[0]["v"]
-
-    score_bg = train_bg if train_df is None else _bigrams(tok, digest)
-    lp = F.log(
-        (F.coalesce(F.col("n12"), F.lit(0)) + F.lit(float(alpha)))
-        / (F.coalesce(F.col("n1"), F.lit(0)) + F.lit(float(alpha) * vocab))
-    )
-    scored = (
-        score_bg.join(c12, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg(lp).alias("avg_lp"))
-    )
-    avg6 = F.round(F.col("avg_lp"), 6)
-    return (
-        tok.select("__id", F.size("ws").alias("n_tokens"))
-        .join(scored, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            avg6.alias("avg_logprob"),
-            F.round(F.exp(-avg6), 4).alias("perplexity"),
+        # fold the two count tables into ONE logprob model keyed on the
+        # bigram: |distinct bigrams| rows ≪ occurrences, AQE broadcasts it
+        # when it fits, and scoring needs a single join instead of two
+        lp_obs = F.log(
+            (F.col("n12") + F.lit(float(alpha)))
+            / (F.col("n1") + F.lit(float(alpha) * vocab))
         )
-    )
+        model = c12.join(c1, "w1").select("w1", "w2", lp_obs.alias("lp"))
+
+        if train_df is None:
+            # self-trained: every scored bigram exists in the model by
+            # construction — inner single join, no fallback arithmetic
+            scored = train_bg.join(model, ["w1", "w2"])
+        else:
+            # held-out scoring: unseen bigram with a SEEN context backs
+            # off to ln(alpha / (n1 + alpha*V)); fully unseen context to
+            # ln(1/V) — the coalesce(n1, 0) covers both
+            score_bg = _bigrams(tok, digest)
+            lp_miss = F.log(
+                F.lit(float(alpha))
+                / (F.coalesce(F.col("n1"), F.lit(0)) + F.lit(float(alpha) * vocab))
+            )
+            scored = (
+                score_bg.join(model, ["w1", "w2"], "left")
+                .join(c1, "w1", "left")
+                .withColumn("lp", F.coalesce("lp", lp_miss))
+            )
+        per_doc = scored.groupBy("__id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"), F.avg("lp").alias("avg_lp")
+        )
+        avg6 = F.round(F.col("avg_lp"), 6)
+        out = (
+            tok.select("__id", F.size("ws").alias("n_tokens"))
+            .join(per_doc, "__id", "left")
+            .select(
+                F.col("__id").alias(id_col),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+                avg6.alias("avg_logprob"),
+                F.round(F.exp(-avg6), 4).alias("perplexity"),
+            )
+        )
+        # eagerly pin the result so the persisted inputs can be released
+        # without the caller's later actions recomputing the whole model.
+        # eager=False returns the lazy plan instead (plan inspection, or a
+        # deployment-scale caller landing the result straight into a table
+        # — there the token cache is released by ITS terminal action)
+        return out.localCheckpoint(eager=True) if eager else out
+    finally:
+        if eager:
+            tok.unpersist()
+            if train_df is not None:
+                train_tok.unpersist()

@@ -122,8 +122,13 @@ def test_bigram_lm_hashed_plan_shuffles_longs(spark):
     tables key on xxhash64 longs (token strings never reach a join key)."""
     df = spark.createDataFrame([(0, "a b c"), (1, "b c d")],
                                "doc_id long, text string")
-    plan = bigram_lm_score(df, digest="xxhash64")._jdf.queryExecution().toString()
+    lazy = bigram_lm_score(df, digest="xxhash64", eager=False)
+    plan = lazy._jdf.queryExecution().toString()
     assert "xxhash64" in plan
+    # and the lazy plan computes the same result as the eager default
+    a = {r["doc_id"]: r["avg_logprob"] for r in lazy.collect()}
+    b = {r["doc_id"]: r["avg_logprob"] for r in bigram_lm_score(df).collect()}
+    assert a == b
 
 
 def test_intradoc_line_dedup_constructed(spark):
