@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "pii_scrub_signals",
     "lm_perplexity",
     "intradoc_line_dedup",
+    "dup_span_scrub",
     "containment_dedup",
     "corpus_curation_e2e",
     "ann_cosine_topk",
