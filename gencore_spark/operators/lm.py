@@ -9,9 +9,10 @@ corpus (``train_df`` — the "clean" corpus; defaults to the scored corpus
 itself, which flags statistically unusual documents as high-perplexity
 outliers), scored entirely with JVM built-ins.
 
-The reference's analog is its quality-score ladder over read evidence
-(``/root/reference/src/pairs.cpp`` scoring); here the "evidence" is the
-corpus's own token statistics.
+The reference's analog is its per-base quality scoring over read
+evidence (``/root/reference/src/pair.cpp:70-88`` ``qual2score`` ladder,
+consumed by the consensus vote in ``group.cpp``); here the "evidence" is
+the corpus's own token statistics.
 
 Model (standard bigram with add-alpha smoothing):
 
@@ -64,8 +65,9 @@ _TOKEN_SPLIT = r"\s+"
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, ws: array<string>) — lowercased whitespace tokens, empties
     dropped (split of '' yields [''], the only empty-token case after
-    trim)."""
-    ws = F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT)
+    trim).  NULL text counts as empty — without the coalesce a NULL
+    propagates to ``ws`` and ``size(NULL)`` is -1, not 0."""
+    ws = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), _TOKEN_SPLIT)
     return df.select(F.col(id_col).alias("__id"), ws.alias("ws")).select(
         "__id", F.filter("ws", lambda w: F.length(w) > 0).alias("ws")
     )

@@ -59,8 +59,10 @@ def dup_span_scrub(
     Docs shorter than ``n`` words pass through untouched (no grams).
     """
     # bind the split to an attribute BEFORE any higher-order lambda
-    # touches it (CodegenFallback re-evaluation hazard — COVERAGE.md)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # touches it (CodegenFallback re-evaluation hazard — COVERAGE.md);
+    # NULL text counts as empty (a NULL array would yield NULL
+    # text_scrub/n_words instead of ''/0)
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     wdf = df.select(F.col(id_col).alias("__id"), words.alias("ws")).select(
         "__id", F.filter("ws", lambda w: F.length(w) > 0).alias("ws")
     )

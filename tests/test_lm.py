@@ -109,6 +109,16 @@ def test_bigram_lm_digest_xxhash64_equivalent(spark):
         assert a[i]["perplexity"] == b[i]["perplexity"], i
 
 
+def test_bigram_lm_null_text_counts_as_empty(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert (got[0]["n_tokens"], got[0]["n_bigrams"]) == (0, 0)
+    assert got[0]["avg_logprob"] is None and got[0]["perplexity"] is None
+    assert got[1]["n_bigrams"] == 3
+
+
 def test_bigram_lm_rejects_bad_args(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):

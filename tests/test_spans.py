@@ -70,3 +70,11 @@ def test_dup_span_scrub_whitespace_normalized_output(spark):
     docs = _mk(spark, [(1, "  a   b\tc  "), (2, "d e f")])
     got = {r["doc_id"]: r for r in dup_span_scrub(docs).collect()}
     assert got[1]["text_scrub"] == "a b c" and got[1]["n_words"] == 3
+
+
+def test_dup_span_scrub_null_text_counts_as_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some words here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dup_span_scrub(docs).collect()}
+    assert (got[1]["text_scrub"], got[1]["n_words"], got[1]["n_removed"]) == ("", 0, 0)
