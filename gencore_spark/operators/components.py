@@ -92,27 +92,25 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    # Warm start: near-dup graphs are unions of near-cliques and converge
-    # in 2-3 large+small rounds, so the first two cycles run lazily (their
-    # 2-3x self-references hit the checkpointed base — cheap scans) with no
-    # convergence fingerprint (a driver round trip each); one checkpoint
-    # then truncates both cycles at once.
-    # Checkpoint + fingerprint FUSED into one job per cycle: the checkpoint
+    # Checkpoint + fingerprint FUSED into one job per CYCLE: the checkpoint
     # is lazy and the fingerprint collect is the action that materializes
-    # it — halving the driver round trips of the loop (they are pure fixed
-    # cost, the scaling-efficiency tax).
-    for _ in range(2):
-        cur = _small_star(_large_star(cur))
-    cur = cur.localCheckpoint(eager=False)
-    prev_fp = _fingerprint(cur)
-    # Cycles run 2-per-fingerprint: star cycles are idempotent at the
-    # fixpoint, so overshooting by one cycle costs a cheap scan of the
-    # previous checkpoint, while fingerprinting every cycle costs a driver
-    # round trip each — the fixed-latency term that caps scaling
-    # efficiency.  Net: same converged output, half the barrier jobs.
-    for _ in range(0, cfg.cc_max_iterations, 2):
-        cur = _small_star(_large_star(cur))
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+    # it.  Exactly one cycle per checkpoint, measured (round 6): each star
+    # references its input 3-4x, so an unpinned K-cycle chain duplicates
+    # the base plan ~12^K times and DRIVER-SIDE CATALYST PLANNING of the
+    # lazy checkpoint (Dataset.localCheckpoint compiles the physical plan
+    # eagerly) becomes the loop's dominant cost — the prior 2-cycle fusion
+    # spent 1.3-3.5s PLANNING each checkpoint (measured on a 6k-edge
+    # graph; the fingerprint jobs themselves were 0.1-0.2s), ~7s of a
+    # 7.5s query.  Per-cycle pinning keeps every planned tree ~12 leaves
+    # (0.1-0.3s) at the price of one extra driver trip per 2 cycles —
+    # the 5.2s -> 1.9s trade on the driver-bench CC query.
+    prev_fp = None
+    for _ in range(cfg.cc_max_iterations):
+        # pin after EACH star: both checkpoints are lazy and materialize in
+        # the same fingerprint job, but each planned tree is now 3-4 leaves
+        # instead of 12 (planning is superlinear in tree size)
+        cur = _large_star(cur).localCheckpoint(eager=False)
+        cur = _small_star(cur).localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break
