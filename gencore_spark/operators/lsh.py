@@ -108,18 +108,41 @@ def bucketed_pairs(
 
     tagged = exploded.join(active, bucket_cols)
 
+    # Small buckets: all-pairs WITHIN the bucket via one groupBy +
+    # collect_list + in-bucket JVM pair expansion.  The buffer is bounded
+    # by the cap (<= 64 members per collected bucket — the ONLY reason a
+    # collect_list is admissible here; mega-buckets never reach it), and
+    # it replaces the previous a-side/b-side self-join, which evaluated
+    # AND shuffled the exploded table twice more (round-6 measurement:
+    # the exploded/tagged subtree was evaluated ~5x across the small/
+    # star/chain branches — each branch is a separate evaluation of its
+    # unmaterialized lineage, and pinning `tagged` is not scale-safe
+    # because it is corpus x bands sized).  Members arrive pre-sorted so
+    # the nested transform emits exactly the (id_a < id_b) pairs the
+    # join produced.
     small = tagged.filter(~F.col("capped"))
-    a = small.select(*bucket_cols, F.col(id_col).alias("id_a"))
-    b = small.select(*bucket_cols, F.col(id_col).alias("id_b"))
+    members = F.array_sort(F.collect_list(id_col))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs_small = (
-        a.join(b, bucket_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        small.groupBy(*bucket_cols)
+        .agg(members.alias("ms"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
     )
 
-    # capped mega-buckets: anchor-star ∪ per-bucket random-order chain.
-    # O(2n) edges; the chain order hash mixes the bucket key, so each
-    # band re-randomizes adjacency (heterogeneous-bucket recovery).
+    # capped mega-buckets: anchor-star ∪ per-bucket random-order chain,
+    # BOTH emitted from one window pass (star and chain branches used to
+    # be two separate evaluations of the tagged lineage).  O(2n) edges;
+    # the chain order hash mixes the bucket key, so each band
+    # re-randomizes adjacency (heterogeneous-bucket recovery).
     #
     # The chain is SALTED into ~cap-sized sub-groups: a window partitioned
     # by the bucket key alone sorts the ENTIRE mega-bucket in one task —
@@ -133,26 +156,34 @@ def bucketed_pairs(
     # chain's (members land in sub-groups and positions uniformly), with
     # both salt and order re-randomized per band.
     big = tagged.filter(F.col("capped"))
-    pairs_star = big.filter(F.col(id_col) != F.col("anchor_id")).select(
-        F.least("anchor_id", id_col).alias("id_a"),
-        F.greatest("anchor_id", id_col).alias("id_b"),
-    )
     order = F.xxhash64(F.lit(0x51A), *bucket_cols, id_col)
     n_sub = F.ceil(F.col("bucket_size") / F.lit(cap)).cast("long")
     salt = F.pmod(F.xxhash64(F.lit(0x5A17), *bucket_cols, id_col), n_sub)
     w = Window.partitionBy(*bucket_cols, "chain_salt").orderBy("chain_ord")
-    pairs_chain = (
+    star_edge = F.when(
+        F.col(id_col) != F.col("anchor_id"),
+        F.struct(
+            F.least("anchor_id", id_col).alias("id_a"),
+            F.greatest("anchor_id", id_col).alias("id_b"),
+        ),
+    )
+    chain_edge = F.when(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col(id_col)),
+        F.struct(
+            F.least("prev", id_col).alias("id_a"),
+            F.greatest("prev", id_col).alias("id_b"),
+        ),
+    )
+    pairs_big = (
         big.withColumn("chain_ord", order)
         .withColumn("chain_salt", salt)
         .withColumn("prev", F.lag(id_col).over(w))
-        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col(id_col)))
-        .select(
-            F.least("prev", id_col).alias("id_a"),
-            F.greatest("prev", id_col).alias("id_b"),
-        )
+        .select(F.explode(F.array(star_edge, chain_edge)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.id_a", "p.id_b")
     )
 
-    edges = pairs_small.unionByName(pairs_star).unionByName(pairs_chain).distinct()
+    edges = pairs_small.unionByName(pairs_big).distinct()
     return edges, stats
 
 
