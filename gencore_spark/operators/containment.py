@@ -150,9 +150,18 @@ def containment_dedup(
     them — survivors are already exact either way.  Docs shorter than
     ``n`` words have no grams, are never candidates, and survive.
     """
+    # Pin the candidate pairs: they are referenced 3x below (both sides of
+    # the involved union + the m join), and EACH reference re-evaluates
+    # the full candidate lineage — which itself explodes the corpus gram
+    # table ~4x.  Unpinned, the round-6 plan audit counted ~15 corpus
+    # gram-explode evaluations in one 1000-node physical plan (no exchange
+    # reuse fires across the differently-pruned copies), with driver-side
+    # planning of that tree a second-order cost on top.  The pin is
+    # scale-safe: candidate pairs are two ids per row, proportional to the
+    # near-dup structure, never the corpus.
     cands = containment_candidates(
         df, n, k, cand_tau, max_df, id_col, text_col, digest
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
 
     grams = _exploded_grams(df, [id_col], text_col, n).select(
         id_col, _gram_digest(F.col("gram"), digest).alias("gh")
@@ -162,7 +171,11 @@ def containment_dedup(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    g = grams.join(involved, id_col, "left_semi")
+    # Pin the candidate-restricted gram table too (3 references: sz + both
+    # m-join sides; each would re-run the corpus explode + semi-join).
+    # Bounded by |involved docs| x grams/doc — candidate-proportional, the
+    # same data the verify joins move anyway.
+    g = grams.join(involved, id_col, "left_semi").localCheckpoint(eager=False)
     sz = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     m = (

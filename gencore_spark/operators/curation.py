@@ -138,6 +138,15 @@ def curate_corpus(
         F.col(f"w.{stratum_col}").alias(stratum_col),
         F.col(f"w.{text_col}").alias(text_col),
     )
+    # Pin the exact-collapse output (lazy; materializes inside the first
+    # downstream job): line dedup + its rejoin reference `d` 4x, and each
+    # reference re-plans and partially re-executes the text-keyed shuffle
+    # above.  Same per-stage materialization discipline as the dedup
+    # pipeline's "stages" mode; at sandbox scale the win is mostly
+    # DRIVER-SIDE PLANNING — the step-8 meta checkpoint was measured
+    # (round 6) spending 2.7-5.8s compiling the unpinned ~12x-duplicated
+    # tree, vs ~0.3s per pinned stage.
+    d = d.localCheckpoint(eager=False)
     if track:
         attrition["after_exact"] = d.count()
 
@@ -197,6 +206,13 @@ def curate_corpus(
         "quality", quality_expr(F.col(text_col))
     )
     d = d.filter((F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
+    # Pin the quality-gate survivors (lazy): the optional perplexity gate
+    # and the decontamination step each reference `d` 2-3x (score/flag
+    # branch + the semi/anti join back), which would re-run the whole
+    # line-dedup rejoin per reference — this pin also discharges the
+    # round-5 advice that bigram_lm_score's eager path re-executed d's
+    # upstream twice.
+    d = d.localCheckpoint(eager=False)
     if track:
         attrition["after_quality_gate"] = d.count()
 

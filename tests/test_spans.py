@@ -78,3 +78,19 @@ def test_dup_span_scrub_null_text_counts_as_empty(spark):
     )
     got = {r["doc_id"]: r for r in dup_span_scrub(docs).collect()}
     assert (got[1]["text_scrub"], got[1]["n_words"], got[1]["n_removed"]) == ("", 0, 0)
+
+
+def test_dup_span_scrub_large_fully_covered_doc_linear(spark):
+    """Adversarial shape from the round-5 review: a large doc whose EVERY
+    word is covered by duplicated grams.  The cover filter must be linear
+    (array_except index set), not O(words x cover) — with the old
+    per-word array_contains scan this 50k-word case was ~2.5e9 interpreted
+    comparisons in one task and did not complete in test time."""
+    n_words = 50_000
+    big = " ".join(f"w{i}" for i in range(n_words))
+    docs = _mk(spark, [(1, big), (2, big)])
+    got = {r["doc_id"]: r for r in dup_span_scrub(docs).collect()}
+    for d in (1, 2):
+        assert got[d]["text_scrub"] == ""
+        assert got[d]["n_words"] == n_words
+        assert got[d]["n_removed"] == n_words
