@@ -115,9 +115,10 @@ def intradoc_line_dedup(
     and a template page can be the only holder of its banner corpus-wide
     — so cross-document dedup never fires on it.  Dolma ships this as
     within-document paragraph dedup; the reference's analog is collapsing
-    repeated evidence for the same position before voting
-    (``/root/reference/src/group.cpp:142-175`` counts each supporting
-    read once per locus).
+    repeated evidence for the same position before voting — the per-base
+    consensus tally in ``makeConsensus``
+    (``/root/reference/src/group.cpp:320-579``), which folds every read's
+    vote for a locus into one counted entry.
 
     Output mirrors :func:`line_dedup`: (id, ``text_dedup``, ``n_lines``,
     ``n_removed``), with empty-after-trim lines dropped unconditionally
