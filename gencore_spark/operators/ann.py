@@ -75,6 +75,18 @@ def cosine_topk(
     )
 
 
+def _maybe_broadcast(df: DataFrame, n_rows: int | None, max_rows: int):
+    """Query-side broadcast, conditional on a caller-known row count — the
+    ``attach_pair_payload`` cutover pattern (``verify.py``).  ``None``
+    keeps the documented "small query batch" contract (always broadcast);
+    a count above ``max_rows`` drops the hint so the bucket/cell equi-join
+    plans as a shuffle join and corpus-vs-corpus probes (semantic dedup)
+    never rest on a single-executor copy of the query table."""
+    if n_rows is None or n_rows <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def banded_hyperplane_codes_udf(
     dim: int, bands: int, planes_per_band: int, seed: int = 42
 ):
@@ -193,6 +205,8 @@ def ivf_probe(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_queries: int | None = None,
+    broadcast_max_rows: int = 100_000,
 ) -> DataFrame:
     """PROBE step: each query visits its ``n_probe`` nearest cells
     (centroid matrix is closure-captured into one vectorized UDF) and
@@ -222,7 +236,7 @@ def ivf_probe(
         .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
     )
     scored = (
-        index.cells.join(F.broadcast(q), "cell")
+        index.cells.join(_maybe_broadcast(q, n_queries, broadcast_max_rows), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "cos")
@@ -273,12 +287,18 @@ def lsh_cosine_topk(
     planes_per_band: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_queries: int | None = None,
+    broadcast_max_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: banded sign-LSH bucket join + exact re-rank.
 
     Same output contract as :func:`cosine_topk`; recall@k >= 0.9 on
     clustered corpora at the defaults (pytest
     ``test_ann_lsh_topk_recall_vs_brute_force``).
+
+    ``n_queries`` — exact query-side row count when the caller has one;
+    above ``broadcast_max_rows`` the bucket join runs un-broadcast (see
+    :func:`_maybe_broadcast`), enabling corpus-vs-corpus probes.
     """
     code = banded_hyperplane_codes_udf(dim, bands, planes_per_band)
     c = corpus.select(
@@ -292,7 +312,7 @@ def lsh_cosine_topk(
         code(F.col(vec_col)).alias("codes"),
     ).select("query_id", "qv", F.explode("codes").alias("bucket"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(_maybe_broadcast(q, n_queries, broadcast_max_rows), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cv", "qv")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -167,62 +167,78 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
       taken by its single most frequent bigram.
 
     High values flag boilerplate/spam ("lorem lorem lorem...") that n-gram
-    LMs otherwise overweight.  Trigram dedup stays fully inside one row
-    (array higher-order functions, no shuffle); the bigram mode needs a
-    per-(doc, bigram) count — one hash aggregation keyed on doc_id, the
-    same shape at any corpus size.
+    LMs otherwise overweight.  BOTH features stay fully inside one row —
+    the operator is narrow end to end (round-6 rewrite): grams are folded
+    to ``xxhash64(w_i, …, w_{i+n-1})`` longs (never built as strings),
+    the trigram feature is a distinct-count over the hashed array, and
+    the top-bigram count is the longest equal-run of the SORTED hashed
+    bigram array — an aggregate() scan, no per-(doc, bigram) shuffle.
+    The previous shape exploded bigram *strings* into two corpus-wide
+    hash aggregations (2 exchanges; 3.1s at sf0.1 vs 0.9s narrow).
+    Hash adjudication: a within-document 64-bit collision merges two
+    gram counts; at ~10^3 grams/doc that is ~3e-14 per doc — the
+    ``duplicate_passage_frac`` precedent, where the oracle computes the
+    identical statistics over the strings.
     """
-    # Materialize `words` and the gram arrays as attributes in their own
-    # projections.  Higher-order functions (transform) are CodegenFallback:
-    # the lambda body is interpreted PER ELEMENT, so an inlined
-    # split(trim(text)) inside the gram lambda re-runs the regex split for
-    # every F.get — and `tgs` inlined three times into the frac expression
-    # multiplies that again.  Measured: 122s → ~2s at sf0.01 (6k docs).
-    # CollapseProject keeps these projections separate because each alias
-    # is referenced more than once and is not cheap.
+    # Bind `words` to an attribute first: higher-order functions
+    # (transform/aggregate) are CodegenFallback — the lambda body is
+    # interpreted PER ELEMENT, and an inlined split(trim(text)) would
+    # re-run the regex split for every F.get (measured 122s → ~2s at
+    # sf0.01 when this operator was first written).
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     wdf = df.select("doc_id", words.alias("words"))
+
+    def gram_hashes(n: int):
+        n_grams = F.size("words") - (n - 1)
+        idx = F.sequence(F.lit(0), n_grams - 1)
+        gram = lambda i: F.xxhash64(*[F.get("words", i + j) for j in range(n)])
+        return F.when(n_grams <= 0, F.array().cast("array<bigint>")).otherwise(
+            F.transform(idx, gram)
+        )
+
     gdf = wdf.select(
         "doc_id",
-        word_ngrams(F.col("words"), 3).alias("tgs"),
-        word_ngrams(F.col("words"), 2).alias("bgs"),
+        gram_hashes(3).alias("tgh"),
+        F.array_sort(gram_hashes(2)).alias("bgh"),
     )
-    tgs = F.col("tgs")
-    # the trigram feature rides along through both aggregations (it is
-    # functionally determined by doc_id) so no self-join / base recompute
-    # is needed — one aggregation chain keyed on doc_id end to end
-    exploded = gdf.select(
+    # longest equal-run over the sorted bigram hashes == the max
+    # per-(doc, bigram) count; eqNullSafe so the first element starts a
+    # run of 1 against the NULL initial state
+    step_run = F.aggregate(
+        F.col("bgh"),
+        F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return gdf.select(
         "doc_id",
         F.round(
-            F.when(F.size(tgs) <= 0, F.lit(0.0)).otherwise(
-                1.0 - F.size(F.array_distinct(tgs)) / F.size(tgs).cast("double")
+            F.when(F.size("tgh") <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("tgh")) / F.size("tgh").cast("double")
             ),
             6,
         ).alias("dup_trigram_frac"),
-        F.explode_outer(F.col("bgs")).alias("bg"),
-    )
-    return (
-        exploded.groupBy("doc_id", "bg")
-        .agg(
-            F.first("dup_trigram_frac").alias("dup_trigram_frac"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.first("dup_trigram_frac").alias("dup_trigram_frac"),
-            F.max(F.when(F.col("bg").isNull(), 0).otherwise(F.col("c"))).alias("mx"),
-            F.sum(F.when(F.col("bg").isNull(), 0).otherwise(F.col("c"))).alias("nb"),
-        )
-        .select(
-            "doc_id",
-            "dup_trigram_frac",
-            F.round(
-                F.when(F.col("nb") <= 0, F.lit(0.0)).otherwise(
-                    F.col("mx") / F.col("nb").cast("double")
-                ),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+        F.round(
+            F.when(F.size("bgh") <= 0, F.lit(0.0)).otherwise(
+                step_run / F.size("bgh").cast("double")
+            ),
+            6,
+        ).alias("top_bigram_frac"),
     )
 
 

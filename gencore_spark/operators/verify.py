@@ -33,6 +33,15 @@ from ..functions.similarity import has_common_substring
 
 
 def _verify_udf(cfg: DedupConfig):
+    # TASK-level shingle memo (closure state): the UDF closure is pickled
+    # by value per task, so this dict starts empty for each task and
+    # persists across that task's Arrow batches — near-dup clusters and
+    # anchor-star edges repeat one text across many pairs, and the
+    # per-batch memo was recomputing each text's shingles once per batch
+    # boundary.  Capped so a pathological partition cannot grow it
+    # unboundedly (~4k entries x (text + shingle array) ≈ 75 MB/worker).
+    memo: dict[str, np.ndarray] = {}
+
     @F.pandas_udf(
         T.StructType(
             [
@@ -49,9 +58,8 @@ def _verify_udf(cfg: DedupConfig):
         cont_a = np.empty(len(ta), dtype=np.float64)
         cont_b = np.empty(len(ta), dtype=np.float64)
         k = cfg.shingle_k
-        # per-batch shingle memo: anchor-star edges repeat one text
-        # thousands of times within a bucket (the skew block)
-        memo: dict[str, np.ndarray] = {}
+        if len(memo) > 4096:
+            memo.clear()
 
         def sh(t: str) -> np.ndarray:
             # keyed by the string itself: dict equality handles hash
@@ -72,7 +80,21 @@ def _verify_udf(cfg: DedupConfig):
                 continue
             sa, sb = sh(x), sh(y)
             na, nb = sa.shape[0], sb.shape[0]
-            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            # shingle_hashes output is unique AND sorted, so the
+            # intersection size is a searchsorted probe of the smaller
+            # set into the larger — O(min log max), ~3x cheaper than
+            # np.intersect1d's concatenate+sort (round-6 A/B: identical
+            # outputs, verify stage 7.9s -> 5.7s at 368k pairs)
+            if na > nb:
+                small, big = sb, sa
+            else:
+                small, big = sa, sb
+            if big.shape[0] == 0:
+                inter = 0
+            else:
+                pos = np.searchsorted(big, small)
+                np.clip(pos, 0, big.shape[0] - 1, out=pos)
+                inter = int((big[pos] == small).sum())
             j = inter / max(na + nb - inter, 1)
             # shingle containment of each side in the other — the
             # representative-election signal (isPartOf, bamutil.cpp:293-336):
@@ -217,7 +239,16 @@ def verify_pairs(
         F.col("simhash").alias("sim_b"),
         F.col("minhash").alias("mh_b"),
     )
-    joined = edges.join(sa, "id_a").join(sb, "id_b")
+    # Repartition the THIN pair rows (16 B each) before any payload is
+    # attached: the candidate edges arrive from a byte-coalesced distinct
+    # (368k pairs ≈ 6 MB → AQE leaves ~8 partitions at 60k pages), and
+    # because every downstream join here is a broadcast, that partition
+    # count would be inherited by the est-Jaccard gate AND the Arrow
+    # verify UDF after the attach fans bytes ~250x — measured 4x
+    # under-parallelized (verify stage 13.4s → 5.4s at 60k pages with
+    # this exchange, which itself moves only the pair ids).
+    par = edges.sparkSession.sparkContext.defaultParallelism * 3
+    joined = edges.repartition(par, "id_a", "id_b").join(sa, "id_a").join(sb, "id_b")
 
     # gate 0 — JVM-side popcount.  ONE codegen'd instruction per pair
     # (bit_count(xor)), so it runs first: even at the lenient hamming<=16

@@ -82,7 +82,7 @@ def get_spark(
     app_name: str = "gencore-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int = 8192,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")

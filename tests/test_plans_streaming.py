@@ -189,6 +189,62 @@ def test_ann_broadcasts_query_side(spark, sf_dir):
     assert has_broadcast_join(out)
 
 
+def test_ann_lsh_large_query_set_not_broadcast(spark, sf_dir):
+    """The n_queries cutover (attach_pair_payload pattern): a query table
+    the caller knows is over the broadcast cap must plan the bucket join
+    WITHOUT a query-side broadcast — no executor/driver ever rests on a
+    single copy of a corpus-sized query set (corpus-vs-corpus probes)."""
+    from gencore_spark.operators.ann import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    # disable size-estimate auto-broadcast so the plan shows exactly what
+    # OUR hint decides (at real scale the estimate would be over the
+    # threshold anyway; the fixture table is tiny)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = lsh_cosine_topk(
+            corpus, queries, dim=64, k=3, n_queries=1_000_001,
+            broadcast_max_rows=1_000_000,
+        )
+        plan = explain_str(big)
+        assert "BroadcastExchange" not in plan
+        # counted-small keeps the broadcast
+        small = lsh_cosine_topk(corpus, queries, dim=64, k=3, n_queries=10)
+        assert has_broadcast_join(small)
+        # and the un-broadcast plan returns the same rows
+        assert sorted(map(tuple, big.collect())) == sorted(
+            map(tuple, small.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ann_ivf_large_query_set_not_broadcast(spark, sf_dir):
+    from gencore_spark.operators.ann import ivf_build, ivf_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = ivf_build(emb.filter(F.col("vec_id") >= 10), n_cells=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = ivf_probe(
+            index, queries, k=3, n_probe=2, n_queries=1_000_001,
+            broadcast_max_rows=1_000_000,
+        )
+        assert "BroadcastExchange" not in explain_str(big)
+        small = ivf_probe(index, queries, k=3, n_probe=2)
+        assert has_broadcast_join(small)
+        assert sorted(map(tuple, big.collect())) == sorted(
+            map(tuple, small.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_filter_pushdown_reaches_scan(spark, pages_parquet):
     pages = spark.read.parquet(pages_parquet).filter(F.col("lang") == "en").select("url")
     plan = explain_str(pages)
