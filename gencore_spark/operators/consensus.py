@@ -69,7 +69,14 @@ def consensus_vote(
     if has_text:
         text_by_doc = members.select("doc_id", "text")
         members = members.withColumn("text_len", F.length("text")).drop("text")
-    m = members.withColumn("mirror_key", mirror_key())
+    # Pin the text-stripped member metadata (lazy): it feeds FOUR
+    # aggregation branches below (votes, stats, ranked's probe side,
+    # mirror_counts), and each branch is a separate evaluation of the
+    # upstream members tree — in the pipeline that tree is two joins over
+    # the docs/cluster tables per evaluation.  Thin rows only (~100 B/doc,
+    # text already split off above), so the materialization is smaller
+    # than any of the stage snapshots the pipeline already writes.
+    m = members.withColumn("mirror_key", mirror_key()).localCheckpoint(eager=False)
 
     votes = m.groupBy("cluster_id", "text_hash").agg(
         F.count(F.lit(1)).alias("votes")
