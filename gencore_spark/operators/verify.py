@@ -166,20 +166,21 @@ def attach_pair_payload(
     (id_col, value_col).  Output: (id_a, id_b, *extra_cols, out_a, out_b).
     """
     if payload_rows is not None and payload_rows <= broadcast_max_rows:
-        vals = payload.select(
-            F.col(id_col).alias("rid"), F.col(value_col).alias("v")
+        # ONE broadcast relation joined twice (a-side and b-side): the two
+        # broadcast subtrees are canonically identical, so ReuseExchange
+        # builds and ships the payload hash relation ONCE — the previous
+        # per-side aliased selects made the subtrees differ and the
+        # (payload-sized) broadcast was collected and shipped twice.
+        bv = F.broadcast(
+            payload.select(F.col(id_col).alias("rid"), F.col(value_col).alias("v"))
         )
         return (
-            pairs.join(
-                F.broadcast(vals.select(F.col("rid").alias("id_a"),
-                                        F.col("v").alias(out_a))),
-                "id_a",
-            )
-            .join(
-                F.broadcast(vals.select(F.col("rid").alias("id_b"),
-                                        F.col("v").alias(out_b))),
-                "id_b",
-            )
+            pairs.join(bv, F.col("id_a") == F.col("rid"))
+            .drop("rid")
+            .withColumnRenamed("v", out_a)
+            .join(bv, F.col("id_b") == F.col("rid"))
+            .drop("rid")
+            .withColumnRenamed("v", out_b)
             .select("id_a", "id_b", *extra_cols, out_a, out_b)
         )
 

@@ -152,7 +152,13 @@ class DedupPipeline:
             main = docs.filter(~F.col("bypass")).select(
                 "doc_id", "text", "text_hash", "text_hash2"
             )
-            return with_signatures(distinct_text_reps(main, cfg), cfg).select(
+            # drop the RAW text before with_signatures: its repartition
+            # exchange otherwise ships text AND norm_text (2x the bytes)
+            # when only norm_text feeds the signature UDF (guide §2.3:
+            # project before the exchange)
+            return with_signatures(
+                distinct_text_reps(main, cfg).drop("text"), cfg
+            ).select(
                 "text_hash", "text_hash2", "rep_id", "n_members",
                 "norm_text", "minhash", "simhash",
             )
