@@ -405,7 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .distinct()
         )
-        return connected_components(edges).select(
+        return connected_components(edges, assume_distinct=True).select(
             F.col("rep_id").alias("node"), "cluster_id"
         )
 

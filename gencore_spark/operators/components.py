@@ -63,13 +63,20 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, cfg: DedupConfig | None = None
+    edges: DataFrame, cfg: DedupConfig | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """edges (id_a, id_b) → assignment (rep_id, cluster_id).
 
     ``cluster_id`` is the minimum node id of the component (deterministic,
     resume-stable).  Every node appearing in ``edges`` gets a row; isolated
     nodes are the caller's concern (they keep their own id).
+
+    ``assume_distinct`` — caller attests the edge rows are already unique
+    (e.g. they come from a ``distinct()`` candidate set that a verify
+    stage only FILTERED): skips the input dedup shuffle.  The output is
+    identical either way; duplicates would only inflate intermediate row
+    counts, never change the fixpoint.
     """
     cfg = cfg or DEFAULT_CONFIG
     # Node ids are type-agnostic: any hashable + orderable Spark type works
@@ -82,15 +89,13 @@ def connected_components(
     # Eager localCheckpoint (not lazy persist): truncating the physical
     # plan each cycle keeps per-round stage latency flat — a measured 6x
     # per-round difference on this host versus persist-chained lineage.
-    cur = (
-        edges.select(
-            F.col("id_a").alias("a"),
-            F.col("id_b").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cur = edges.select(
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    if not assume_distinct:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint(eager=True)
 
     # Checkpoint + fingerprint FUSED into one job per CYCLE: the checkpoint
     # is lazy and the fingerprint collect is the action that materializes

@@ -202,7 +202,11 @@ class DedupPipeline:
             )
 
             def build_cc() -> DataFrame:
-                return connected_components(verified.select("id_a", "id_b"), cfg)
+                return connected_components(
+                    verified.select("id_a", "id_b"), cfg,
+                    # candidate edges were distinct; verify only filters
+                    assume_distinct=True,
+                )
 
             cc = self._stage(
                 "s4_cc", build_cc, force, expect_cols=["rep_id", "cluster_id"]
