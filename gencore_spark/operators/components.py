@@ -95,7 +95,16 @@ def connected_components(
     ).filter(F.col("a") != F.col("b"))
     if not assume_distinct:
         cur = cur.distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # lazy pin + input fingerprint: ONE job materializes the input AND
+    # yields the cycle-0 fingerprint, so (a) the former eager-checkpoint
+    # barrier job is folded into useful work, and (b) a graph that is
+    # ALREADY a star forest (exact-dup-heavy corpora) converges after a
+    # single confirming cycle instead of two — the star cycle's fixpoints
+    # are exactly the final forests (Kiveris et al.), so "cycle output
+    # fingerprint == previous fingerprint" is the same stop criterion
+    # whether "previous" is cycle k or the input.
+    cur = cur.localCheckpoint(eager=False)
+    prev_fp = _fingerprint(cur)
 
     # Checkpoint + fingerprint FUSED into one job per CYCLE: the checkpoint
     # is lazy and the fingerprint collect is the action that materializes
@@ -109,7 +118,6 @@ def connected_components(
     # 7.5s query.  Per-cycle pinning keeps every planned tree ~12 leaves
     # (0.1-0.3s) at the price of one extra driver trip per 2 cycles —
     # the 5.2s -> 1.9s trade on the driver-bench CC query.
-    prev_fp = None
     for _ in range(cfg.cc_max_iterations):
         # pin after EACH star: both checkpoints are lazy and materialize in
         # the same fingerprint job, but each planned tree is now 3-4 leaves
